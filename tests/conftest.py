@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh for JAX tests.
+
+Must run before any jax import (SURVEY.md §4 multi-node testing plan).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

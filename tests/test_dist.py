@@ -1,0 +1,116 @@
+"""Distributed components on the virtual 8-device CPU mesh: halo exchange,
+psum stats, ordered ragged gather, sharded codec steps, and the
+single-chip-vs-sharded bit-exactness property (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_deflate.dist.mesh import lane_sharding, make_codec_mesh, pad_lanes
+from tpu_deflate.dist.sharded import (
+    halo_exchange,
+    ordered_ragged_gather,
+    psum_stats,
+)
+from tpu_deflate.format.tables import WINDOW_SIZE
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return make_codec_mesh(8)
+
+
+def test_halo_exchange_ring(mesh):
+    rng = np.random.default_rng(0)
+    shards = rng.integers(0, 256, (8, WINDOW_SIZE + 100), dtype=np.uint8)
+    out = np.asarray(halo_exchange(jnp.asarray(shards), mesh))
+    assert out.shape == (8, 2 * WINDOW_SIZE + 100)
+    # shard 0's halo is zeros; shard d's halo is shard d-1's tail.
+    assert (out[0, :WINDOW_SIZE] == 0).all()
+    for d in range(1, 8):
+        np.testing.assert_array_equal(out[d, :WINDOW_SIZE], shards[d - 1, -WINDOW_SIZE:])
+        np.testing.assert_array_equal(out[d, WINDOW_SIZE:], shards[d])
+
+
+def test_psum_stats(mesh):
+    vals = np.arange(8 * 4, dtype=np.int32).reshape(8, 4)
+    out = np.asarray(psum_stats(jnp.asarray(vals), mesh))
+    np.testing.assert_array_equal(out.reshape(4), vals.sum(axis=0))
+
+
+def test_ordered_ragged_gather(mesh):
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 256, (8, 64), dtype=np.uint8)
+    lengths = rng.integers(1, 64, 8).astype(np.int32)
+    gp, gl = ordered_ragged_gather(jnp.asarray(payload), jnp.asarray(lengths), mesh)
+    np.testing.assert_array_equal(gl, lengths)
+    # order-deterministic concat equals lane-order concat
+    got = b"".join(gp[i, : gl[i]].tobytes() for i in range(8))
+    want = b"".join(payload[i, : lengths[i]].tobytes() for i in range(8))
+    assert got == want
+
+
+def test_sharded_encode_matches_single_chip(mesh):
+    """Distributed correctness = bit-exact equality of sharded output vs
+    the unsharded batched kernel (SURVEY.md §4 multi-node strategy)."""
+    from tpu_deflate.codec import encode_jax as ej
+    from tpu_deflate.dist.sharded import sharded_analyze_emit
+    from tpu_deflate.kernels.huffman import huffman_lengths_batch
+
+    rng = np.random.default_rng(2)
+    L, S = 8, 4096
+    data = np.repeat(rng.integers(0, 16, (L, S // 4), dtype=np.uint8), 4, axis=1)
+    lengths = np.full(L, S, dtype=np.int32)
+
+    hist = np.ones((L, 288), dtype=np.int64)
+    ll_lengths = huffman_lengths_batch(hist, 12)
+    d_hist = np.zeros((L, 30), dtype=np.int64)
+    d_hist[:, :8] = 1
+    d_lengths = huffman_lengths_batch(d_hist, 12)
+    ll_codes = ej._pack_codes(ll_lengths, 12)
+    d_codes = ej._pack_codes(d_lengths, 12)
+    header_vals, header_bits = ej._build_headers(ll_lengths, d_lengths)
+    eob_val = (ll_codes[:, 256] & 0xFFFF).astype(np.uint32)
+    eob_bits = (ll_codes[:, 256] >> 16).astype(np.int32)
+
+    args = (
+        jnp.asarray(data),
+        jnp.asarray(lengths),
+        jnp.asarray(ll_codes),
+        jnp.asarray(d_codes),
+        jnp.asarray(header_vals),
+        jnp.asarray(header_bits),
+        jnp.asarray(eob_val),
+        jnp.asarray(eob_bits),
+    )
+    step = sharded_analyze_emit(mesh)
+    words_sharded, bits_sharded = step(*args)
+
+    a = ej.analyze_device(args[0], args[1], True)
+    flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
+    words_single, bits_single = ej.emit_device(
+        a["litlen_sym"], flags, a["len_eb"], a["len_ev"], a["dist_sym"],
+        a["dist_eb"], a["dist_ev"], *args[2:],
+    )
+    np.testing.assert_array_equal(np.asarray(bits_sharded), np.asarray(bits_single))
+    np.testing.assert_array_equal(np.asarray(words_sharded), np.asarray(words_single))
+
+
+def test_graft_entry_single_and_multi():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    tokens, tcount, err = out
+    assert (np.asarray(err) == 0).all()
+    assert (np.asarray(tcount) == 0).all()  # EOB-only payloads
+    mod.dryrun_multichip(8)

@@ -235,7 +235,7 @@ class _DynamicHeader:
 
 
 def _plan_dynamic_codes(
-    litlen_hist: np.ndarray, dist_hist: np.ndarray
+    litlen_hist: np.ndarray, dist_hist: np.ndarray, max_code_len: int = 15
 ) -> tuple[np.ndarray, np.ndarray, _DynamicHeader]:
     """Build dynamic litlen/dist code lengths + header plan from histograms.
 
@@ -253,7 +253,7 @@ def _plan_dynamic_codes(
     while hi > 257 and litlen_hist[hi - 1] == 0:
         hi -= 1
     litlen_trim = litlen_hist[:hi]
-    litlen_lengths_trim = package_merge_lengths(litlen_trim, 15)
+    litlen_lengths_trim = package_merge_lengths(litlen_trim, max_code_len)
 
     used_dist = int((dist_hist > 0).sum())
     if used_dist == 1:
@@ -269,7 +269,7 @@ def _plan_dynamic_codes(
     if dist_trim.size == 1 and dist_trim[0] == 0:
         dist_lengths_trim = np.zeros(1, dtype=np.int32)
     else:
-        dist_lengths_trim = package_merge_lengths(dist_trim, 15)
+        dist_lengths_trim = package_merge_lengths(dist_trim, max_code_len)
 
     code_lens = np.concatenate([litlen_lengths_trim, dist_lengths_trim])
     clen_symbols, clen_extras = _clen_rle(code_lens)
@@ -303,7 +303,7 @@ def _plan_dynamic_codes(
 class HuffmanPlan(BlockPlan):
     """A fixed- or dynamic-Huffman compressed block plan for one chunk."""
 
-    def __init__(self, tokens: _TokenStream, dynamic: bool):
+    def __init__(self, tokens: _TokenStream, dynamic: bool, max_code_len: int = 15):
         self._tokens = tokens
         self._dynamic = dynamic
 
@@ -315,7 +315,7 @@ class HuffmanPlan(BlockPlan):
 
         if dynamic:
             self._litlen_lengths, self._dist_lengths, self._header = _plan_dynamic_codes(
-                litlen_hist, dist_hist
+                litlen_hist, dist_hist, max_code_len
             )
             header_bits = self._header.header_bits
         else:

@@ -1,0 +1,529 @@
+"""TPU member-parallel gzip encoder (emits the TPU stream profile).
+
+The reference encoder is a sequential per-chunk scan
+(``comp/Lz77Huffman.java:68-131``); this path recasts the whole encode as
+batched device kernels over independent 64 KiB members (lanes):
+
+- **analyze kernel** (jit): multiplicative 4-byte hashing; per-lane stable
+  argsort groups equal hashes so each position's K nearest previous
+  occurrences are its in-bucket predecessors; candidate scoring by
+  word-wise (uint32) prefix compare; best-match extension via a masked
+  ``while_loop``; greedy parse by pointer doubling; masked scatter-add
+  histograms. One fused jitted graph, no per-position host logic.
+- **host planning**: lock-step two-queue Huffman (``huffman_lengths_batch``)
+  for all lanes at once, 12-bit-capped codes (device decode profile),
+  canonical code assignment batched, per-lane dynamic header layout.
+- **emit kernel** (jit): every (position, slot) pair becomes a
+  (value, nbits) token; bit offsets are one cumulative sum; bits land via
+  carry-free scatter-add into uint32 words (slot bit ranges are disjoint
+  by construction, so add == or).
+- member assembly on host: TD-indexed gzip headers, device-computed CRC-32
+  trailers (``checksum_jax``), stored fallback for incompressible lanes.
+
+Capability note: this path targets throughput on the profile; the host
+strategy system (``deflate_encode.py``) remains the fully general encoder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels import jax_setup  # noqa: F401  (compilation cache)
+import numpy as np
+
+from ..kernels.bitio import BitWriter
+from ..kernels.checksum import crc32
+from ..kernels.huffman import huffman_lengths_batch
+from .deflate_encode import _CLEN_EXTRA_BITS, _clen_rle
+from .profile import MEMBER_DATA, build_member
+from .decode_jax import DEV_LUT_BITS
+
+HASH_BITS = 16
+K_CANDIDATES = 8
+ENC_LANE_BATCH = 64  # members per device dispatch
+_ENC_L_BUCKETS = (4, 16, ENC_LANE_BATCH)
+
+def _run_to_symbol(run):
+    """Closed-form run -> (length symbol, extra bits, extra value).
+
+    Equivalent to the reference's log-based mapping
+    (``comp/Lz77Huffman.java:92-111``) but branch-free arithmetic — 1-D
+    table gathers stall this backend's compiler, closed forms are free on
+    the VPU. Valid for run in [3, 258].
+    """
+    r3 = jnp.maximum(run - 3, 0)
+    e = (
+        (r3 >= 8).astype(jnp.int32)
+        + (r3 >= 16).astype(jnp.int32)
+        + (r3 >= 32).astype(jnp.int32)
+        + (r3 >= 64).astype(jnp.int32)
+        + (r3 >= 128).astype(jnp.int32)
+    )
+    sym_hi = 257 + 4 * e + (r3 >> e)
+    sym = jnp.where(run <= 10, 254 + run, sym_hi)
+    sym = jnp.where(run >= 258, 285, sym)
+    base = jnp.where(
+        sym <= 264, sym - 254, ((((sym - 257) & 3) + 4) << jnp.maximum(e, 0)) + 3
+    )
+    base = jnp.where(sym == 285, 258, base)
+    eb = jnp.where((sym >= 265) & (sym <= 284), e, 0)
+    ev = run - base
+    return sym.astype(jnp.int32), eb.astype(jnp.int32), ev.astype(jnp.int32)
+
+
+def _dist_to_symbol(dist):
+    """Closed-form distance -> (symbol, extra bits, extra value)
+    (≙ ``comp/Lz77Huffman.java:112-127``). Valid for dist in [1, 32768]."""
+    d1 = jnp.maximum(dist - 1, 0)
+    e = jnp.zeros_like(d1)
+    for k in range(1, 14):
+        e = e + (d1 >= (1 << (k + 1))).astype(jnp.int32)
+    sym_hi = 2 * e + (d1 >> e)
+    sym = jnp.where(dist <= 4, d1, sym_hi)
+    base = jnp.where(sym <= 3, sym + 1, (((sym & 1) + 2) << jnp.maximum(e, 0)) + 1)
+    eb = jnp.where(sym >= 4, e, 0)
+    ev = dist - base
+    return sym.astype(jnp.int32), eb.astype(jnp.int32), ev.astype(jnp.int32)
+
+
+def _u32_windows(data: jnp.ndarray) -> jnp.ndarray:
+    """(L, S) uint8 -> (L, S) uint32 LE 4-byte windows (zero padded)."""
+    L, S = data.shape
+    ext = jnp.concatenate([data, jnp.zeros((L, 4), jnp.uint8)], axis=1).astype(jnp.uint32)
+    return (
+        ext[:, :S]
+        | (ext[:, 1 : S + 1] << 8)
+        | (ext[:, 2 : S + 2] << 16)
+        | (ext[:, 3 : S + 3] << 24)
+    )
+
+
+def _lcp8(w32: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, lanes: jnp.ndarray) -> jnp.ndarray:
+    """Common-prefix length (0..8) of the 8 bytes at positions a vs b."""
+    S = w32.shape[1]
+    a0 = jnp.take_along_axis(w32, jnp.clip(a, 0, S - 1), axis=1)
+    b0 = jnp.take_along_axis(w32, jnp.clip(b, 0, S - 1), axis=1)
+    a1 = jnp.take_along_axis(w32, jnp.clip(a + 4, 0, S - 1), axis=1)
+    b1 = jnp.take_along_axis(w32, jnp.clip(b + 4, 0, S - 1), axis=1)
+    x0 = a0 ^ b0
+    x1 = a1 ^ b1
+    l0 = (
+        ((x0 & 0xFF) == 0).astype(jnp.int32)
+        + ((x0 & 0xFFFF) == 0).astype(jnp.int32)
+        + ((x0 & 0xFFFFFF) == 0).astype(jnp.int32)
+        + (x0 == 0).astype(jnp.int32)
+    )
+    l1 = (
+        ((x1 & 0xFF) == 0).astype(jnp.int32)
+        + ((x1 & 0xFFFF) == 0).astype(jnp.int32)
+        + ((x1 & 0xFFFFFF) == 0).astype(jnp.int32)
+        + (x1 == 0).astype(jnp.int32)
+    )
+    return l0 + jnp.where(l0 == 4, l1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("lazy",))
+def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
+    """Match-find + parse + histogram for a batch of members.
+
+    data: (L, S) uint8 (zero-padded rows), lengths: (L,) int32.
+    Returns dict of per-position token info and per-lane histograms.
+    """
+    L, S = data.shape
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = pos < lengths[:, None]
+    w32 = _u32_windows(data)
+    lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
+
+    # --- hashing + in-bucket neighbor candidates -----------------------
+    h = ((w32 * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
+    h = jnp.where(valid, h, -1)
+    order = jnp.argsort(h, axis=1, stable=True).astype(jnp.int32)
+    sorted_h = jnp.take_along_axis(h, order, axis=1)
+    changed = jnp.concatenate(
+        [jnp.ones((L, 1), bool), sorted_h[:, 1:] != sorted_h[:, :-1]], axis=1
+    )
+    idx = jnp.broadcast_to(pos, (L, S))
+    group_first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(changed, idx, -1), axis=1
+    )
+    rank = idx - group_first
+    # inverse permutation: sorted position of each original position
+    inv = jnp.zeros((L, S), jnp.int32).at[lanes, order].set(idx)
+
+    best_len = jnp.zeros((L, S), jnp.int32)
+    best_cand = jnp.full((L, S), -1, jnp.int32)
+    for k in range(1, K_CANDIDATES + 1):
+        spos = inv  # (L,S) position in sorted order
+        has = jnp.take_along_axis(rank, spos, axis=1) >= k
+        cand_sorted_idx = jnp.clip(spos - k, 0, S - 1)
+        cand = jnp.take_along_axis(order, cand_sorted_idx, axis=1)
+        dist = idx - cand
+        ok = has & (dist >= 1) & (dist <= 32 * 1024) & valid
+        l8 = _lcp8(w32, idx, cand, lanes)
+        l8 = jnp.where(ok, l8, 0)
+        better = l8 > best_len
+        best_len = jnp.where(better, l8, best_len)
+        best_cand = jnp.where(better, cand, best_cand)
+
+    # --- extend the chosen candidate up to 258 bytes -------------------
+    limit = jnp.minimum(258, lengths[:, None] - idx)
+
+    def ext_cond(carry):
+        ml, active = carry
+        return jnp.any(active)
+
+    def ext_body(carry):
+        ml, active = carry
+        step = _lcp8(w32, idx + ml, best_cand + ml, lanes)
+        step = jnp.where(active, step, 0)
+        ml = ml + step
+        active = active & (step == 8) & (ml < 258)
+        return ml, active
+
+    ml0 = best_len
+    active0 = (best_len == 8) & (best_cand >= 0)
+    ml, _ = jax.lax.while_loop(ext_cond, ext_body, (ml0, active0))
+    run = jnp.minimum(ml, limit)
+    # worthwhile-match heuristics (zlib-style): short far matches lose.
+    dist = jnp.where(best_cand >= 0, idx - best_cand, 0)
+    good = (run >= 4) | ((run == 3) & (dist <= 4096))
+    run = jnp.where(good, run, 0)
+    dist = jnp.where(good, dist, 0)
+
+    # --- greedy/lazy parse by pointer doubling -------------------------
+    use = run
+    if lazy:
+        nxt_run = jnp.concatenate([use[:, 1:], jnp.zeros((L, 1), jnp.int32)], axis=1)
+        defer = (use > 0) & (nxt_run > use)
+        use = jnp.where(defer, 0, use)
+    step = jnp.where(use > 0, use, 1)
+    nxt = jnp.minimum(idx + step, S)
+    reached = jnp.zeros((L, S + 1), bool).at[:, 0].set(True)
+    jump = jnp.concatenate([nxt, jnp.full((L, 1), S, jnp.int32)], axis=1)
+    rounds = int(np.ceil(np.log2(S))) + 1
+    for _ in range(rounds):
+        hit = jnp.zeros((L, S + 1), bool).at[lanes, jnp.where(reached, jump, S)].set(
+            True, mode="drop"
+        )
+        reached = reached | hit
+        jump = jnp.take_along_axis(jump, jnp.clip(jump, 0, S), axis=1)
+    is_token = reached[:, :S] & valid
+    is_match = is_token & (use > 0)
+
+    run_idx = jnp.clip(jnp.where(is_match, use, 3), 3, 258)
+    lit = data.astype(jnp.int32)
+    rsym, reb, rev_ = _run_to_symbol(run_idx)
+    litlen_sym = jnp.where(is_match, rsym, lit)
+    len_eb = jnp.where(is_match, reb, 0)
+    len_ev = jnp.where(is_match, rev_, 0)
+    dist_idx2 = jnp.clip(jnp.where(is_match, dist, 1), 1, 32768)
+    dsym, deb, dev_ = _dist_to_symbol(dist_idx2)
+    dist_sym = jnp.where(is_match, dsym, 0)
+    dist_eb = jnp.where(is_match, deb, 0)
+    dist_ev = jnp.where(is_match, dev_, 0)
+
+    # --- histograms ----------------------------------------------------
+    flat_ll = (lanes * 288 + jnp.where(is_token, litlen_sym, 0)).reshape(-1)
+    ll_weights = is_token.reshape(-1).astype(jnp.int32)
+    litlen_hist = jnp.zeros(L * 288, jnp.int32).at[flat_ll].add(ll_weights).reshape(L, 288)
+    flat_d = (lanes * 30 + jnp.where(is_match, dist_sym, 0)).reshape(-1)
+    d_weights = is_match.reshape(-1).astype(jnp.int32)
+    dist_hist = jnp.zeros(L * 30, jnp.int32).at[flat_d].add(d_weights).reshape(L, 30)
+
+    return {
+        "is_token": is_token,
+        "is_match": is_match,
+        "litlen_sym": litlen_sym,
+        "len_eb": len_eb,
+        "len_ev": len_ev,
+        "dist_sym": dist_sym,
+        "dist_eb": dist_eb,
+        "dist_ev": dist_ev,
+        "litlen_hist": litlen_hist,
+        "dist_hist": dist_hist,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Emission
+# ---------------------------------------------------------------------------
+
+MAX_HEADER_SLOTS = 384  # bfinal/btype + counts + 19 clens + <=320 RLE syms/extras
+WORDS_PER_LANE = (MEMBER_DATA * 9 + 8192) // 32  # worst-case dynamic bits
+
+
+@jax.jit
+def emit_device(
+    analysis_sym: jnp.ndarray,  # (L, S) litlen symbol per position
+    analysis_flags: jnp.ndarray,  # (L, S) int32: 1=token, 2=match
+    len_eb: jnp.ndarray,
+    len_ev: jnp.ndarray,
+    dist_sym: jnp.ndarray,
+    dist_eb: jnp.ndarray,
+    dist_ev: jnp.ndarray,
+    ll_codes: jnp.ndarray,  # (L, 288) packed len<<16 | revcode
+    d_codes: jnp.ndarray,  # (L, 30)
+    header_vals: jnp.ndarray,  # (L, H) uint32
+    header_bits: jnp.ndarray,  # (L, H) int32
+    eob_val: jnp.ndarray,  # (L,) uint32
+    eob_bits: jnp.ndarray,  # (L,) int32
+):
+    """Scatter all header+body+EOB bit slots into per-lane uint32 words."""
+    L, S = analysis_sym.shape
+    H = header_vals.shape[1]
+    is_token = (analysis_flags & 1) != 0
+    is_match = (analysis_flags & 2) != 0
+
+    ll = jnp.take_along_axis(ll_codes, jnp.clip(analysis_sym, 0, 287), axis=1)
+    dd = jnp.take_along_axis(d_codes, jnp.clip(dist_sym, 0, 29), axis=1)
+
+    v0 = jnp.where(is_token, ll & 0xFFFF, 0).astype(jnp.uint32)
+    b0 = jnp.where(is_token, ll >> 16, 0).astype(jnp.int32)
+    v1 = jnp.where(is_match, len_ev, 0).astype(jnp.uint32)
+    b1 = jnp.where(is_match, len_eb, 0).astype(jnp.int32)
+    v2 = jnp.where(is_match, dd & 0xFFFF, 0).astype(jnp.uint32)
+    b2 = jnp.where(is_match, dd >> 16, 0).astype(jnp.int32)
+    v3 = jnp.where(is_match, dist_ev, 0).astype(jnp.uint32)
+    b3 = jnp.where(is_match, dist_eb, 0).astype(jnp.int32)
+
+    body_vals = jnp.stack([v0, v1, v2, v3], axis=2).reshape(L, 4 * S)
+    body_bits = jnp.stack([b0, b1, b2, b3], axis=2).reshape(L, 4 * S)
+
+    vals = jnp.concatenate([header_vals, body_vals, eob_val[:, None]], axis=1)
+    bits = jnp.concatenate([header_bits, body_bits, eob_bits[:, None]], axis=1)
+
+    ends = jnp.cumsum(bits, axis=1)
+    offs = ends - bits
+    total_bits = ends[:, -1]
+
+    w = offs >> 5
+    sh = (offs & 31).astype(jnp.uint32)
+    lo = (vals << sh).astype(jnp.uint32)
+    hi = jnp.where(sh > 0, vals >> (jnp.uint32(32) - sh), 0).astype(jnp.uint32)
+    lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
+    words = jnp.zeros((L, WORDS_PER_LANE), jnp.uint32)
+    wclip = jnp.where(bits > 0, w, WORDS_PER_LANE)
+    words = words.at[lanes, wclip].add(lo, mode="drop")
+    words = words.at[lanes, jnp.where(bits > 0, w + 1, WORDS_PER_LANE)].add(
+        hi, mode="drop"
+    )
+    return words, total_bits
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+def _pack_codes(lengths: np.ndarray, nbits: int) -> np.ndarray:
+    """Batched canonical codes packed as len<<16 | bit-reversed code."""
+    from .decode_jax import build_luts_batch  # reuse batched canonical pieces
+
+    L, N = lengths.shape
+    # canonical assignment (same math as build_luts_batch, but we need the
+    # codes, not the LUT) — compute inline.
+    counts = np.zeros((L, nbits + 2), dtype=np.int64)
+    for l in range(1, nbits + 1):
+        counts[:, l] = (lengths == l).sum(axis=1)
+    next_code = np.zeros((L, nbits + 2), dtype=np.int64)
+    code = np.zeros(L, dtype=np.int64)
+    for l in range(1, nbits + 1):
+        code = (code + counts[:, l - 1]) << 1
+        next_code[:, l] = code
+    order = np.argsort(lengths, axis=1, kind="stable")
+    sorted_lens = np.take_along_axis(lengths, order, axis=1)
+    group_first = np.zeros((L, nbits + 2), dtype=np.int64)
+    for l in range(nbits + 2):
+        group_first[:, l] = np.argmax(sorted_lens >= l, axis=1)
+    pos_in_sorted = np.empty((L, N), dtype=np.int64)
+    np.put_along_axis(pos_in_sorted, order, np.arange(N)[None, :].repeat(L, 0), axis=1)
+    ranks = pos_in_sorted - np.take_along_axis(group_first, lengths.astype(np.int64), axis=1)
+    codes = np.take_along_axis(next_code, lengths.astype(np.int64), axis=1) + ranks
+    rev = np.zeros((L, N), dtype=np.int64)
+    c = codes.copy()
+    for _ in range(nbits):
+        rev = (rev << 1) | (c & 1)
+        c >>= 1
+    rev = rev >> (nbits - np.maximum(lengths, 1))
+    rev = np.where(lengths > 0, rev, 0)
+    return ((lengths.astype(np.int64) << 16) | rev).astype(np.int32)
+
+
+def _build_headers(litlen_lengths: np.ndarray, dist_lengths: np.ndarray):
+    """Per-lane dynamic block header slots (host; small).
+
+    Returns (header_vals (L,H) uint32, header_bits (L,H) int32). The
+    header is: bfinal=1(1) btype=10(2) hlit(5) hdist(5) hclen(4),
+    hclen*3-bit clen lengths, then the RLE-coded code-length stream.
+    """
+    from ..format.tables import CLEN_ORDER
+
+    L = litlen_lengths.shape[0]
+    H = MAX_HEADER_SLOTS
+    vals = np.zeros((L, H), dtype=np.uint32)
+    bits = np.zeros((L, H), dtype=np.int32)
+    for l in range(L):
+        ll = litlen_lengths[l]
+        dd = dist_lengths[l]
+        hi = 288
+        while hi > 257 and ll[hi - 1] == 0:
+            hi -= 1
+        ll_t = ll[:hi]
+        hi_d = 30
+        while hi_d > 1 and dd[hi_d - 1] == 0:
+            hi_d -= 1
+        dd_t = dd[:hi_d]
+        code_lens = np.concatenate([ll_t, dd_t])
+        syms, extras = _clen_rle(code_lens)
+        clen_hist = np.bincount(np.asarray(syms, dtype=np.int64), minlength=19)
+        if int((clen_hist > 0).sum()) < 2:
+            i = int(np.nonzero(clen_hist)[0][0]) if clen_hist.any() else 0
+            clen_hist[(i + 1) % 19] += 1
+        clen_lengths = huffman_lengths_batch(clen_hist[None, :], 7)[0]
+        clen_codes = _pack_codes(clen_lengths[None, :], 7)[0]
+        reordered = clen_lengths[CLEN_ORDER]
+        num_clen = 19
+        while num_clen > 4 and reordered[num_clen - 1] == 0:
+            num_clen -= 1
+        slots = [
+            (1, 1),  # bfinal
+            (2, 2),  # btype dynamic
+            (hi - 257, 5),
+            (hi_d - 1, 5),
+            (num_clen - 4, 4),
+        ]
+        for i in range(num_clen):
+            slots.append((int(reordered[i]), 3))
+        ei = iter(extras)
+        for s in syms:
+            slots.append((int(clen_codes[s]) & 0xFFFF, int(clen_lengths[s])))
+            if s >= 16:
+                slots.append((next(ei), _CLEN_EXTRA_BITS[s]))
+        assert len(slots) <= H, len(slots)
+        for j, (v, b) in enumerate(slots):
+            vals[l, j] = v
+            bits[l, j] = b
+    return vals, bits
+
+
+def compress_members_tpu(data: bytes, *, lazy: bool = True) -> bytes:
+    """Encode ``data`` as a TPU-profile multi-member gzip stream."""
+    n = len(data)
+    if n == 0:
+        from .profile import _empty_member
+
+        return _empty_member()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = bytearray()
+    for base in range(0, n, ENC_LANE_BATCH * MEMBER_DATA):
+        chunk = buf[base : base + ENC_LANE_BATCH * MEMBER_DATA]
+        out += _encode_batch(chunk, lazy=lazy)
+    return bytes(out)
+
+
+def _encode_batch(chunk: np.ndarray, *, lazy: bool) -> bytes:
+    n = chunk.size
+    L_real = -(-n // MEMBER_DATA)
+    L = ENC_LANE_BATCH
+    for b in _ENC_L_BUCKETS:
+        if L_real <= b:
+            L = b
+            break
+    lengths = np.zeros(L, dtype=np.int32)
+    lengths[:L_real] = MEMBER_DATA
+    lengths[L_real - 1] = n - (L_real - 1) * MEMBER_DATA
+    padded = np.zeros((L, MEMBER_DATA), dtype=np.uint8)
+    padded.reshape(-1)[:n] = chunk
+
+    a = analyze_device(jnp.asarray(padded), jnp.asarray(lengths), lazy)
+    litlen_hist = np.asarray(a["litlen_hist"]).astype(np.int64)
+    dist_hist = np.asarray(a["dist_hist"]).astype(np.int64)
+    # EOB occurs once per lane.
+    litlen_hist[:, 256] += 1
+    # degenerate fixes (reference semantics): empty chunk impossible here
+    # (lengths >= 1); single used distance -> bump neighbor.
+    for l in range(L):
+        used = np.nonzero(dist_hist[l])[0]
+        if used.size == 1:
+            i = int(used[0])
+            if i + 1 < 30:
+                dist_hist[l, i + 1] = 1
+            else:
+                dist_hist[l, i - 1] = 1
+        if litlen_hist[l].sum() == litlen_hist[l, 256]:
+            litlen_hist[l, 0] += 1
+
+    ll_lengths = huffman_lengths_batch(litlen_hist, DEV_LUT_BITS)
+    d_lengths = huffman_lengths_batch(dist_hist, DEV_LUT_BITS)
+    # single-distance lanes got >=2 symbols via the bump; all-literal lanes
+    # have all-zero dist lengths -> hdist=1 with zero length (empty code).
+    ll_codes = _pack_codes(ll_lengths, DEV_LUT_BITS)
+    d_codes = _pack_codes(d_lengths, DEV_LUT_BITS)
+
+    header_vals, header_bits = _build_headers(ll_lengths, d_lengths)
+    eob_val = (ll_codes[:, 256] & 0xFFFF).astype(np.uint32)
+    eob_bits = (ll_codes[:, 256] >> 16).astype(np.int32)
+
+    flags = np.asarray(a["is_token"]).astype(np.int32) | (
+        np.asarray(a["is_match"]).astype(np.int32) << 1
+    )
+    words, total_bits = emit_device(
+        jnp.asarray(np.asarray(a["litlen_sym"])),
+        jnp.asarray(flags),
+        jnp.asarray(np.asarray(a["len_eb"])),
+        jnp.asarray(np.asarray(a["len_ev"])),
+        jnp.asarray(np.asarray(a["dist_sym"])),
+        jnp.asarray(np.asarray(a["dist_eb"])),
+        jnp.asarray(np.asarray(a["dist_ev"])),
+        jnp.asarray(ll_codes),
+        jnp.asarray(d_codes),
+        jnp.asarray(header_vals),
+        jnp.asarray(header_bits),
+        jnp.asarray(eob_val),
+        jnp.asarray(eob_bits),
+    )
+    words = np.asarray(words)
+    total_bits = np.asarray(total_bits)
+
+    # CRCs for all lanes (host vectorized; device variant available).
+    out = bytearray()
+    payload_bytes = words.view(np.uint8).reshape(L, -1)
+    if not np.little_endian:  # pragma: no cover
+        payload_bytes = words.byteswap().view(np.uint8).reshape(L, -1)
+    for l in range(L_real):
+        ln = int(lengths[l])
+        member_data = padded[l, :ln]
+        crc = crc32(member_data)
+        nbytes = (int(total_bits[l]) + 7) // 8
+        stored_cost = ln + 5 * (-(-ln // 65535)) + 1
+        if nbytes >= stored_cost:
+            w = BitWriter()
+            from .deflate_encode import StoredPlan
+
+            StoredPlan(member_data).emit(w, True)
+            w.align_to_byte()
+            payload = w.getvalue()
+        else:
+            payload = payload_bytes[l, :nbytes].tobytes()
+        out += build_member(payload, ln, crc)
+    return bytes(out)
+
+
+def gzip_compress_tpu(data: bytes, *, effort: int = 2, metadata=None) -> bytes:
+    """Drop-in TPU compressor (metadata applies to a leading empty member
+    when provided, keeping the stream splittable)."""
+    out = compress_members_tpu(data)
+    if metadata is not None:
+        import io as _io
+
+        from ..streams.gzip_stream import GzipWriter
+
+        sink = _io.BytesIO()
+        wr = GzipWriter(sink, metadata)
+        wr.finish()
+        return sink.getvalue() + out
+    return out

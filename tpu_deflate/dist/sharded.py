@@ -1,0 +1,150 @@
+"""Mesh-sharded codec pipelines (SURVEY.md §2.1/§2.2 build components).
+
+Data-parallel seam: gzip members are independent, so the batched codec
+kernels shard their lane axis across the mesh with **zero** communication
+in the hot path. Collectives appear exactly where the format needs them:
+
+- ``ppermute`` ring halo exchange of each shard's last 32 KiB so match
+  search can reach into the previous shard's history (the SP/CP seam —
+  the format's bounded 32 KiB receptive field);
+- ``psum`` aggregation of per-shard stats (ratio, block-type and symbol
+  histograms — the §5.5 observability component);
+- ordered variable-length gather of compressed shards: every lane's byte
+  length travels with the payload (ragged sizes -> pad + length vector),
+  host 0 concatenates in lane order.
+
+All functions take an explicit Mesh so tests can run them on the virtual
+8-device CPU mesh while production uses a pod slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..format.tables import WINDOW_SIZE
+
+
+def halo_exchange(shards: jnp.ndarray, mesh: Mesh, axis: str = "data") -> jnp.ndarray:
+    """Prepend each shard with the previous shard's last 32 KiB.
+
+    shards: (D, S) uint8, lane d on device d. Returns (D, 32768 + S) with
+    row 0's halo zeroed. Ring ``ppermute`` over ICI (SURVEY.md §2.2c).
+    """
+
+    def body(x):
+        d = jax.lax.axis_index(axis)
+        n = jax.lax.axis_size(axis)
+        tail = x[:, -WINDOW_SIZE:]
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        halo = jax.lax.ppermute(tail, axis, perm)
+        halo = jnp.where(d == 0, jnp.zeros_like(halo), halo)
+        return jnp.concatenate([halo, x], axis=1)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(axis, None),
+    )(shards)
+
+
+def psum_stats(values: jnp.ndarray, mesh: Mesh, axis: str = "data") -> jnp.ndarray:
+    """Sum per-shard stat vectors across the mesh (replicated result)."""
+
+    def body(v):
+        return jax.lax.psum(v, axis)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=P(axis, None), out_specs=P(None)
+    )(values)
+
+
+def ordered_ragged_gather(
+    payload: jnp.ndarray, lengths: jnp.ndarray, mesh: Mesh, axis: str = "data"
+) -> tuple[np.ndarray, np.ndarray]:
+    """All-gather ragged per-lane payloads in deterministic lane order.
+
+    payload: (L, W) fixed-width rows sharded on L; lengths: (L,) valid
+    bytes per row. Device side is an all-gather (deterministic order by
+    construction of the sharded lane axis); host 0 slices and concatenates.
+    Returns (host arrays) — the distributed analog of the reference's
+    in-order stream append (``GzipOutputStream`` member concatenation).
+    """
+
+    def body(p, l):
+        return (
+            jax.lax.all_gather(p, axis, axis=0, tiled=True),
+            jax.lax.all_gather(l, axis, axis=0, tiled=True),
+        )
+
+    gathered_p, gathered_l = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(None, None), P(None)),
+        check_vma=False,  # all_gather output is replicated by construction
+    )(payload, lengths)
+    return np.asarray(gathered_p), np.asarray(gathered_l)
+
+
+# ---------------------------------------------------------------------------
+# Sharded encode / decode steps (the dryrun_multichip / scaling path)
+# ---------------------------------------------------------------------------
+
+
+def sharded_analyze_emit(mesh: Mesh, axis: str = "data"):
+    """Build a pjit'd encode step with the lane axis sharded over the mesh.
+
+    Returns fn(data (L,S) uint8, lengths (L,)) -> (words, total_bits),
+    where L must divide by the mesh size. Lanes are independent, so XLA
+    partitions the whole analyze+emit graph without communication.
+    """
+    from ..codec import encode_jax as ej
+
+    lane = NamedSharding(mesh, P(axis))
+
+    @functools.partial(jax.jit, out_shardings=(lane, lane))
+    def step(data, lengths, ll_codes, d_codes, header_vals, header_bits, eob_val, eob_bits):
+        a = ej.analyze_device(data, lengths, True)
+        flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
+        return ej.emit_device(
+            a["litlen_sym"],
+            flags,
+            a["len_eb"],
+            a["len_ev"],
+            a["dist_sym"],
+            a["dist_eb"],
+            a["dist_ev"],
+            ll_codes,
+            d_codes,
+            header_vals,
+            header_bits,
+            eob_val,
+            eob_bits,
+        )
+
+    return step
+
+
+def sharded_decode(mesh: Mesh, axis: str = "data"):
+    """pjit'd decode phases with the lane axis sharded over the mesh."""
+    from ..codec import decode_jax as dj
+
+    lane = NamedSharding(mesh, P(axis))
+
+    @functools.partial(jax.jit, out_shardings=(lane, lane, lane))
+    def phase1(payload, body_bitpos, payload_bits, litlen_lut, dist_lut, dist_empty, tokens_init):
+        return dj.decode_tokens_device(
+            payload, body_bitpos, payload_bits, litlen_lut, dist_lut, dist_empty, tokens_init
+        )
+
+    @functools.partial(jax.jit, out_shardings=(lane, lane, lane))
+    def phase2(tokens, tcount):
+        return dj.resolve_lz77_device(tokens, tcount, jnp.int32(dj.MEMBER_DATA))
+
+    return phase1, phase2

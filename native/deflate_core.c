@@ -1,0 +1,826 @@
+/*
+ * tpu-deflate native runtime: host-side codec core.
+ *
+ * The reference library's runtime is a JVM stream stack; this framework's
+ * host runtime is this small C core, driven from Python via ctypes with
+ * the GIL released, so independent gzip members decode/encode on all host
+ * cores while the TPU handles the batched kernel paths.
+ *
+ * Contents:
+ *   - td_crc32 / td_adler32: slice-by-8 CRC-32, blocked Adler-32
+ *   - td_inflate: complete RFC 1951 decoder (stored/fixed/dynamic,
+ *     32 KiB window, full error taxonomy; error codes = Python
+ *     Reason + 1, see tpu_deflate/format/errors.py)
+ *   - td_deflate_member: one-shot encoder for a 64 KiB member payload
+ *     (hash-chain lazy matcher, optimal-with-repair Huffman lengths
+ *     capped at a configurable code length, canonical codes, clen RLE) —
+ *     single final DEFLATE block, matching the TPU stream profile.
+ *
+ * Behavioral contracts mirror the reference decoder semantics
+ * (/root/reference/src/io/nayuki/deflate/decomp/Open.java): degenerate
+ * distance codes, reserved symbols, error precedence; differentially
+ * tested against the Python host state machine.
+ */
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* Error codes: 0 = ok, otherwise Reason value + 1                     */
+/* ------------------------------------------------------------------ */
+enum {
+    TD_OK = 0,
+    TD_E_UNEXPECTED_END = 1,
+    TD_E_RESERVED_BLOCK_TYPE = 2,
+    TD_E_LEN_MISMATCH = 3,
+    TD_E_UNDER_FULL = 4,
+    TD_E_OVER_FULL = 5,
+    TD_E_NO_PREV_CODE_LEN = 6,
+    TD_E_CLEN_OVER_FULL = 7,
+    TD_E_EOB_ZERO_LEN = 8,
+    TD_E_RESERVED_LEN_SYM = 9,
+    TD_E_RESERVED_DIST_SYM = 10,
+    TD_E_EMPTY_DIST_CODE = 11,
+    TD_E_BEFORE_START = 12,
+    TD_E_OUTPUT_OVERFLOW = 100, /* internal: out_cap too small */
+};
+
+/* ------------------------------------------------------------------ */
+/* Checksums                                                           */
+/* ------------------------------------------------------------------ */
+
+static uint32_t crc_tab[8][256];
+static int crc_tab_init = 0;
+
+static void crc_init(void) {
+    if (crc_tab_init) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        crc_tab[0][i] = c;
+    }
+    for (uint32_t i = 0; i < 256; i++)
+        for (int t = 1; t < 8; t++)
+            crc_tab[t][i] = (crc_tab[t - 1][i] >> 8) ^ crc_tab[0][crc_tab[t - 1][i] & 0xFF];
+    crc_tab_init = 1;
+}
+
+uint32_t td_crc32(const uint8_t *buf, size_t len, uint32_t init) {
+    crc_init();
+    uint32_t c = init ^ 0xFFFFFFFFu;
+    while (len >= 8) {
+        uint32_t lo, hi;
+        memcpy(&lo, buf, 4);
+        memcpy(&hi, buf + 4, 4);
+        lo ^= c;
+        c = crc_tab[7][lo & 0xFF] ^ crc_tab[6][(lo >> 8) & 0xFF] ^
+            crc_tab[5][(lo >> 16) & 0xFF] ^ crc_tab[4][lo >> 24] ^
+            crc_tab[3][hi & 0xFF] ^ crc_tab[2][(hi >> 8) & 0xFF] ^
+            crc_tab[1][(hi >> 16) & 0xFF] ^ crc_tab[0][hi >> 24];
+        buf += 8;
+        len -= 8;
+    }
+    while (len--) c = (c >> 8) ^ crc_tab[0][(c ^ *buf++) & 0xFF];
+    return c ^ 0xFFFFFFFFu;
+}
+
+uint32_t td_adler32(const uint8_t *buf, size_t len, uint32_t init) {
+    uint32_t a = init & 0xFFFF, b = (init >> 16) & 0xFFFF;
+    while (len > 0) {
+        size_t n = len > 5552 ? 5552 : len;
+        len -= n;
+        for (size_t i = 0; i < n; i++) {
+            a += buf[i];
+            b += a;
+        }
+        buf += n;
+        a %= 65521;
+        b %= 65521;
+    }
+    return (b << 16) | a;
+}
+
+/* ------------------------------------------------------------------ */
+/* Bit reader                                                          */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const uint8_t *in;
+    size_t in_len;
+    size_t pos;      /* next byte */
+    uint64_t reg;
+    int reg_bits;
+    int eof_err;
+} BitIn;
+
+static void bi_init(BitIn *b, const uint8_t *in, size_t n) {
+    b->in = in; b->in_len = n; b->pos = 0; b->reg = 0; b->reg_bits = 0; b->eof_err = 0;
+}
+
+static void bi_fill(BitIn *b) {
+    while (b->reg_bits <= 56 && b->pos < b->in_len)
+        b->reg |= (uint64_t)b->in[b->pos++] << b->reg_bits, b->reg_bits += 8;
+}
+
+static int bi_read(BitIn *b, int n, uint32_t *out) {
+    if (b->reg_bits < n) {
+        bi_fill(b);
+        if (b->reg_bits < n) return TD_E_UNEXPECTED_END;
+    }
+    *out = (uint32_t)(b->reg & ((1u << n) - 1));
+    b->reg >>= n;
+    b->reg_bits -= n;
+    return TD_OK;
+}
+
+static void bi_align(BitIn *b) {
+    int drop = b->reg_bits & 7;
+    b->reg >>= drop;
+    b->reg_bits -= drop;
+}
+
+/* peek up to 15 bits without consuming; returns available count */
+static int bi_peek15(BitIn *b, uint32_t *val) {
+    if (b->reg_bits < 15) bi_fill(b);
+    *val = (uint32_t)(b->reg & 0x7FFF);
+    return b->reg_bits < 15 ? b->reg_bits : 15;
+}
+
+/* ------------------------------------------------------------------ */
+/* Canonical decode tables (15-bit flat LUT)                           */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    uint16_t sym[1 << 15];
+    uint8_t len[1 << 15];
+} Lut;
+
+/* Validate + build 15-bit LUT; replicates the reference's incremental
+ * tree construction error precedence (Open.java:705-756). */
+static int build_lut(const uint8_t *lens, int n, Lut *lut) {
+    int counts[16] = {0};
+    int total = 0;
+    int max_present = 0;
+    for (int i = 0; i < n; i++) {
+        if (lens[i]) {
+            counts[lens[i]]++;
+            total++;
+            if (lens[i] > max_present) max_present = lens[i];
+        }
+    }
+    if (total < 2) return TD_E_UNDER_FULL;
+    {
+        long open_slots = 2, internals = 1, remaining = total;
+        for (int l = 1; l <= max_present; l++) {
+            if (counts[l] > open_slots) return TD_E_OVER_FULL;
+            open_slots -= counts[l];
+            remaining -= counts[l];
+            if (remaining == 0) break;
+            internals += open_slots;
+            if (internals > total - 1) return TD_E_UNDER_FULL;
+            open_slots *= 2;
+        }
+        if (open_slots > 0) return TD_E_UNDER_FULL;
+    }
+    /* canonical codes, bit-reversed fill */
+    int next_code[16];
+    int code = 0;
+    for (int l = 1; l <= 15; l++) {
+        code = (code + counts[l - 1]) << 1;
+        next_code[l] = code;
+    }
+    for (int s = 0; s < n; s++) {
+        int l = lens[s];
+        if (!l) continue;
+        int c = next_code[l]++;
+        /* bit reverse */
+        int rev = 0;
+        for (int k = 0; k < l; k++) rev |= ((c >> k) & 1) << (l - 1 - k);
+        int step = 1 << l;
+        for (int idx = rev; idx < (1 << 15); idx += step) {
+            lut->sym[idx] = (uint16_t)s;
+            lut->len[idx] = (uint8_t)l;
+        }
+    }
+    return TD_OK;
+}
+
+static int decode_sym(BitIn *b, const Lut *lut, int *sym) {
+    uint32_t bits;
+    int avail = bi_peek15(b, &bits);
+    int l = lut->len[bits];
+    if (l == 0 || l > avail) return TD_E_UNEXPECTED_END;
+    b->reg >>= l;
+    b->reg_bits -= l;
+    *sym = lut->sym[bits];
+    return TD_OK;
+}
+
+/* run/dist base+extra tables (closed form at init) */
+static const uint16_t LEN_BASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
+    35,43,51,59,67,83,99,115,131,163,195,227,258};
+static const uint8_t LEN_EXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,
+    3,3,3,3,4,4,4,4,5,5,5,5,0};
+static const uint16_t DIST_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,
+    257,385,513,769,1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+static const uint8_t DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,
+    7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+
+static const uint8_t CLEN_ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,2,14,1,15};
+
+/* ------------------------------------------------------------------ */
+/* Inflate                                                             */
+/* ------------------------------------------------------------------ */
+
+/* Full raw-DEFLATE decode. Returns TD_OK or an error code.
+ * consumed: whole input bytes consumed (partial byte counts as consumed). */
+int td_inflate(const uint8_t *in, size_t in_len, uint8_t *out, size_t out_cap,
+               size_t *out_len, size_t *consumed) {
+    static __thread Lut litlen_lut, dist_lut;
+    static __thread Lut fixed_ll, fixed_d;
+    static __thread int fixed_init = 0;
+    BitIn b;
+    bi_init(&b, in, in_len);
+    size_t op = 0;
+    int last = 0;
+    int err;
+    uint32_t v;
+
+    if (!fixed_init) {
+        uint8_t lens[288];
+        for (int i = 0; i < 144; i++) lens[i] = 8;
+        for (int i = 144; i < 256; i++) lens[i] = 9;
+        for (int i = 256; i < 280; i++) lens[i] = 7;
+        for (int i = 280; i < 288; i++) lens[i] = 8;
+        build_lut(lens, 288, &fixed_ll);
+        uint8_t dl[32];
+        for (int i = 0; i < 32; i++) dl[i] = 5;
+        build_lut(dl, 32, &fixed_d);
+        fixed_init = 1;
+    }
+
+    while (!last) {
+        if ((err = bi_read(&b, 1, &v))) return err;
+        last = (int)v;
+        if ((err = bi_read(&b, 2, &v))) return err;
+        int btype = (int)v;
+        if (btype == 3) return TD_E_RESERVED_BLOCK_TYPE;
+
+        if (btype == 0) {
+            bi_align(&b);
+            uint32_t len, nlen;
+            if ((err = bi_read(&b, 16, &len))) return err;
+            if ((err = bi_read(&b, 16, &nlen))) return err;
+            if (len != (nlen ^ 0xFFFFu)) return TD_E_LEN_MISMATCH;
+            if (op + len > out_cap) return TD_E_OUTPUT_OVERFLOW;
+            /* drain register first, then memcpy */
+            uint32_t remaining = len;
+            while (remaining && b.reg_bits >= 8) {
+                out[op++] = (uint8_t)(b.reg & 0xFF);
+                b.reg >>= 8;
+                b.reg_bits -= 8;
+                remaining--;
+            }
+            if (remaining) {
+                if (b.pos + remaining > b.in_len) return TD_E_UNEXPECTED_END;
+                memcpy(out + op, b.in + b.pos, remaining);
+                op += remaining;
+                b.pos += remaining;
+            }
+            continue;
+        }
+
+        const Lut *ll, *dd;
+        int dist_empty = 0;
+        if (btype == 1) {
+            ll = &fixed_ll;
+            dd = &fixed_d;
+        } else {
+            uint32_t hlit, hdist, hclen;
+            if ((err = bi_read(&b, 5, &hlit))) return err;
+            if ((err = bi_read(&b, 5, &hdist))) return err;
+            if ((err = bi_read(&b, 4, &hclen))) return err;
+            int nlit = (int)hlit + 257, ndist = (int)hdist + 1, nclen = (int)hclen + 4;
+            uint8_t clen_lens[19];
+            memset(clen_lens, 0, sizeof clen_lens);
+            for (int i = 0; i < nclen; i++) {
+                if ((err = bi_read(&b, 3, &v))) return err;
+                clen_lens[CLEN_ORDER[i]] = (uint8_t)v;
+            }
+            static __thread Lut clen_lut;
+            if ((err = build_lut(clen_lens, 19, &clen_lut))) return err;
+
+            uint8_t lens[288 + 32];
+            int total = nlit + ndist;
+            int i = 0, prev = -1;
+            while (i < total) {
+                int s;
+                if ((err = decode_sym(&b, &clen_lut, &s))) return err;
+                if (s < 16) {
+                    lens[i++] = (uint8_t)s;
+                    prev = s;
+                } else {
+                    int run, val;
+                    if (s == 16) {
+                        if (prev < 0) return TD_E_NO_PREV_CODE_LEN;
+                        if ((err = bi_read(&b, 2, &v))) return err;
+                        run = 3 + (int)v; val = prev;
+                    } else if (s == 17) {
+                        if ((err = bi_read(&b, 3, &v))) return err;
+                        run = 3 + (int)v; val = 0; prev = 0;
+                    } else {
+                        if ((err = bi_read(&b, 7, &v))) return err;
+                        run = 11 + (int)v; val = 0; prev = 0;
+                    }
+                    if (i + run > total) return TD_E_CLEN_OVER_FULL;
+                    while (run--) lens[i++] = (uint8_t)val;
+                }
+            }
+            if (lens[256] == 0) return TD_E_EOB_ZERO_LEN;
+            uint8_t ll_lens[288];
+            memset(ll_lens, 0, sizeof ll_lens);
+            memcpy(ll_lens, lens, nlit);
+            if ((err = build_lut(ll_lens, 288, &litlen_lut))) return err;
+            ll = &litlen_lut;
+
+            uint8_t d_lens[32];
+            memset(d_lens, 0, sizeof d_lens);
+            memcpy(d_lens, lens + nlit, ndist);
+            if (ndist == 1 && d_lens[0] == 0) {
+                dist_empty = 1;
+                dd = NULL;
+            } else {
+                int ones = 0, others = 0;
+                for (int k = 0; k < 32; k++) {
+                    if (d_lens[k] == 1) ones++;
+                    else if (d_lens[k] > 1) others++;
+                }
+                if (ones == 1 && others == 0) d_lens[31] = 1; /* dummy: Open.java:421-425 */
+                if ((err = build_lut(d_lens, 32, &dist_lut))) return err;
+                dd = &dist_lut;
+            }
+        }
+
+        /* block body */
+        for (;;) {
+            int sym;
+            if ((err = decode_sym(&b, ll, &sym))) return err;
+            if (sym < 256) {
+                if (op >= out_cap) return TD_E_OUTPUT_OVERFLOW;
+                out[op++] = (uint8_t)sym;
+                continue;
+            }
+            if (sym == 256) break;
+            if (sym > 285) return TD_E_RESERVED_LEN_SYM;
+            uint32_t extra;
+            if ((err = bi_read(&b, LEN_EXTRA[sym - 257], &extra))) return err;
+            uint32_t run = LEN_BASE[sym - 257] + extra;
+            if (dist_empty) return TD_E_EMPTY_DIST_CODE;
+            int dsym;
+            if ((err = decode_sym(&b, dd, &dsym))) return err;
+            if (dsym > 29) return TD_E_RESERVED_DIST_SYM;
+            if ((err = bi_read(&b, DIST_EXTRA[dsym], &extra))) return err;
+            uint32_t dist = DIST_BASE[dsym] + extra;
+            if (dist > op) return TD_E_BEFORE_START;
+            if (op + run > out_cap) return TD_E_OUTPUT_OVERFLOW;
+            if (dist >= run) {
+                memcpy(out + op, out + op - dist, run);
+                op += run;
+            } else {
+                const uint8_t *src = out + op - dist;
+                uint8_t *dst = out + op;
+                for (uint32_t k = 0; k < run; k++) dst[k] = src[k];
+                op += run;
+            }
+        }
+    }
+    *out_len = op;
+    *consumed = b.pos - (size_t)(b.reg_bits / 8);
+    return TD_OK;
+}
+
+/* ------------------------------------------------------------------ */
+/* Deflate: one-shot member payload encoder (single final block)       */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    uint8_t *out;
+    size_t cap;
+    size_t pos;       /* bytes written */
+    uint64_t reg;
+    int reg_bits;
+    int overflow;
+} BitOut;
+
+static void bo_init(BitOut *o, uint8_t *out, size_t cap) {
+    o->out = out; o->cap = cap; o->pos = 0; o->reg = 0; o->reg_bits = 0; o->overflow = 0;
+}
+
+static void bo_write(BitOut *o, uint32_t val, int n) {
+    o->reg |= (uint64_t)val << o->reg_bits;
+    o->reg_bits += n;
+    while (o->reg_bits >= 8) {
+        if (o->pos >= o->cap) { o->overflow = 1; o->reg_bits = 0; return; }
+        o->out[o->pos++] = (uint8_t)(o->reg & 0xFF);
+        o->reg >>= 8;
+        o->reg_bits -= 8;
+    }
+}
+
+static size_t bo_finish(BitOut *o) {
+    if (o->reg_bits > 0) {
+        if (o->pos >= o->cap) { o->overflow = 1; return o->pos; }
+        o->out[o->pos++] = (uint8_t)(o->reg & 0xFF);
+        o->reg = 0; o->reg_bits = 0;
+    }
+    return o->pos;
+}
+
+/* ---- Huffman code length computation (heap Huffman + Kraft repair) -- */
+
+static void heap_push(uint64_t *h, int *n, uint64_t v) {
+    int i = (*n)++;
+    h[i] = v;
+    while (i > 0) {
+        int p = (i - 1) >> 1;
+        if (h[p] <= h[i]) break;
+        uint64_t t = h[p]; h[p] = h[i]; h[i] = t;
+        i = p;
+    }
+}
+
+static uint64_t heap_pop(uint64_t *h, int *n) {
+    uint64_t top = h[0];
+    h[0] = h[--(*n)];
+    int i = 0;
+    for (;;) {
+        int l = 2 * i + 1, r = l + 1, m = i;
+        if (l < *n && h[l] < h[m]) m = l;
+        if (r < *n && h[r] < h[m]) m = r;
+        if (m == i) break;
+        uint64_t t = h[m]; h[m] = h[i]; h[i] = t;
+        i = m;
+    }
+    return top;
+}
+
+/* freqs[n] -> lens[n], max_len-limited complete code (>=2 used symbols
+ * assumed handled by caller fixes). */
+static void huff_lengths(const uint32_t *freqs, int n, int max_len, uint8_t *lens) {
+    /* nodes: leaf i in [0,n); internal from n. value packed freq<<16|id */
+    uint64_t heap[640];
+    int hn = 0;
+    int parent[1280];
+    int used = 0, lastsym = -1;
+    for (int i = 0; i < n; i++) {
+        lens[i] = 0;
+        if (freqs[i]) { used++; lastsym = i; }
+    }
+    if (used == 0) return;
+    if (used == 1) { lens[lastsym] = 1; return; }
+    for (int i = 0; i < n; i++)
+        if (freqs[i]) heap_push(heap, &hn, ((uint64_t)freqs[i] << 16) | (uint64_t)i);
+    int next_id = n;
+    while (hn > 1) {
+        uint64_t a = heap_pop(heap, &hn), bnd = heap_pop(heap, &hn);
+        uint64_t f = (a >> 16) + (bnd >> 16);
+        parent[a & 0xFFFF] = next_id;
+        parent[bnd & 0xFFFF] = next_id;
+        heap_push(heap, &hn, (f << 16) | (uint64_t)next_id);
+        next_id++;
+    }
+    int root = next_id - 1;
+    /* depths: parents have higher ids; iterate down */
+    static __thread int depth_buf[1280];
+    depth_buf[root] = 0;
+    for (int id = root - 1; id >= 0; id--) {
+        if (id < n && !freqs[id]) continue;
+        depth_buf[id] = depth_buf[parent[id]] + 1;
+    }
+    /* bl_count with clamp + exact slot repair (same algebra as
+     * kernels/huffman.py huffman_lengths_batch) */
+    long bl_count[64];
+    memset(bl_count, 0, sizeof bl_count);
+    for (int i = 0; i < n; i++) {
+        if (!freqs[i]) continue;
+        int d = depth_buf[i];
+        if (d > max_len) d = max_len;
+        if (d < 1) d = 1;
+        bl_count[d]++;
+    }
+    long full = 1L << max_len;
+    long needed = 0;
+    for (int l = 1; l <= max_len; l++) needed += bl_count[l] << (max_len - l);
+    while (needed > full) {
+        int bits = max_len - 1;
+        while (bits > 0 && bl_count[bits] == 0) bits--;
+        bl_count[bits]--;
+        bl_count[bits + 1] += 2;
+        bl_count[max_len]--;
+        needed--;
+    }
+    /* assign: ascending frequency -> descending length. sort used symbols
+     * by (freq, sym) via simple index sort (n <= 320). */
+    int order[320];
+    int m = 0;
+    for (int i = 0; i < n; i++)
+        if (freqs[i]) order[m++] = i;
+    /* insertion sort by freq then sym (stable enough; n small) */
+    for (int i = 1; i < m; i++) {
+        int key = order[i];
+        int j = i - 1;
+        while (j >= 0 && (freqs[order[j]] > freqs[key] ||
+               (freqs[order[j]] == freqs[key] && order[j] > key))) {
+            order[j + 1] = order[j];
+            j--;
+        }
+        order[j + 1] = key;
+    }
+    int oi = 0;
+    for (int l = max_len; l >= 1; l--)
+        for (long c = 0; c < bl_count[l]; c++)
+            lens[order[oi++]] = (uint8_t)l;
+}
+
+static void canon_codes(const uint8_t *lens, int n, uint16_t *codes) {
+    int counts[16];
+    memset(counts, 0, sizeof counts);
+    for (int i = 0; i < n; i++) counts[lens[i]]++;
+    counts[0] = 0;
+    int next_code[16];
+    int code = 0;
+    for (int l = 1; l <= 15; l++) {
+        code = (code + counts[l - 1]) << 1;
+        next_code[l] = code;
+    }
+    for (int s = 0; s < n; s++) {
+        int l = lens[s];
+        if (!l) { codes[s] = 0; continue; }
+        int c = next_code[l]++;
+        int rev = 0;
+        for (int k = 0; k < l; k++) rev |= ((c >> k) & 1) << (l - 1 - k);
+        codes[s] = (uint16_t)rev;
+    }
+}
+
+/* run -> (sym, extra bits, extra val) */
+static inline void run_sym(uint32_t run, int *sym, int *eb, uint32_t *ev) {
+    int lo = 0, hi = 28;
+    while (lo < hi) {
+        int mid = (lo + hi + 1) >> 1;
+        if (LEN_BASE[mid] <= run) lo = mid; else hi = mid - 1;
+    }
+    if (run == 258) lo = 28;
+    *sym = 257 + lo;
+    *eb = LEN_EXTRA[lo];
+    *ev = run - LEN_BASE[lo];
+}
+
+static inline void dist_sym(uint32_t dist, int *sym, int *eb, uint32_t *ev) {
+    int lo = 0, hi = 29;
+    while (lo < hi) {
+        int mid = (lo + hi + 1) >> 1;
+        if (DIST_BASE[mid] <= dist) lo = mid; else hi = mid - 1;
+    }
+    *sym = lo;
+    *eb = DIST_EXTRA[lo];
+    *ev = dist - DIST_BASE[lo];
+}
+
+#define HASH_BITS 15
+#define HASH_SIZE (1 << HASH_BITS)
+#define WIN 32768
+
+static inline uint32_t hash4(const uint8_t *p) {
+    uint32_t x;
+    memcpy(&x, p, 4);
+    return (x * 2654435761u) >> (32 - HASH_BITS);
+}
+
+/* Encode one member payload (<= 64 KiB data) as a single final DEFLATE
+ * block with code lengths capped at max_code_len. Falls back to stored
+ * blocks when that is smaller. Returns compressed size, or 0 on error. */
+size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_cap,
+                         int max_code_len, int max_chain) {
+    /* --- tokenize: hash-chain lazy matcher (zlib-flavored) --- */
+    static __thread int32_t head[HASH_SIZE];
+    static __thread int32_t prevtab[1 << 16];
+    static __thread uint16_t tok_run[1 << 16];
+    static __thread uint16_t tok_dist[1 << 16];
+    static __thread uint8_t tok_lit[1 << 16];
+    static __thread uint32_t freqs_ll[288], freqs_d[30];
+    if (n > (1 << 16) || out_cap < 64) return 0;
+    memset(freqs_ll, 0, sizeof freqs_ll);
+    memset(freqs_d, 0, sizeof freqs_d);
+    memset(head, -1, sizeof head);
+    int ntok = 0;
+    size_t i = 0;
+
+    /* best match at position i; candidates are strictly-earlier inserted
+     * positions. Mismatch detection 8 bytes at a time via ctz. */
+    #define FIND(ipos, bestlen_out, bestdist_out) do { \
+        uint32_t _bl = 0, _bd = 0; \
+        if ((ipos) + 4 <= n) { \
+            uint32_t _h = hash4(in + (ipos)); \
+            int32_t _c = head[_h]; \
+            int _chain = max_chain; \
+            uint32_t _lim = n - (ipos) < 258 ? (uint32_t)(n - (ipos)) : 258; \
+            while (_c >= 0 && _chain-- > 0) { \
+                uint32_t _d = (uint32_t)((ipos) - _c); \
+                if (_d > WIN) break; \
+                const uint8_t *_a = in + (ipos), *_b2 = in + _c; \
+                uint32_t _l = 0; \
+                while (_l + 8 <= _lim) { \
+                    uint64_t _xa, _xb; \
+                    memcpy(&_xa, _a + _l, 8); \
+                    memcpy(&_xb, _b2 + _l, 8); \
+                    uint64_t _x = _xa ^ _xb; \
+                    if (_x) { _l += (uint32_t)(__builtin_ctzll(_x) >> 3); break; } \
+                    _l += 8; \
+                } \
+                while (_l < _lim && _a[_l] == _b2[_l]) _l++; \
+                if (_l > _bl || (_l == _bl && _d < _bd)) { _bl = _l; _bd = _d; } \
+                if (_l >= _lim) break; \
+                _c = prevtab[_c]; \
+            } \
+        } \
+        bestlen_out = _bl; bestdist_out = _bd; \
+    } while (0)
+
+    #define INSERT(ipos) do { \
+        if ((ipos) + 4 <= n) { \
+            uint32_t _h = hash4(in + (ipos)); \
+            prevtab[ipos] = head[_h]; \
+            head[_h] = (int32_t)(ipos); \
+        } \
+    } while (0)
+
+    /* ins = next position to add to the hash chains; a position is always
+     * inserted before any FIND at a later position, never before a FIND
+     * at itself (so no zero-distance self matches). */
+    size_t ins = 0;
+    #define INS_UPTO(x) do { while (ins < (x) && ins < n) { INSERT(ins); ins++; } } while (0)
+
+    uint32_t cur_len = 0, cur_dist = 0;
+    FIND(0, cur_len, cur_dist);
+    INS_UPTO(1);
+    while (i < n) {
+        uint32_t nl = 0, nd = 0;
+        if (i + 1 < n) {
+            INS_UPTO(i + 1);
+            FIND(i + 1, nl, nd);
+        }
+        int take = cur_len >= 3 && !(cur_len == 3 && cur_dist > 4096) && cur_len >= nl;
+        if (take) {
+            int s, eb; uint32_t ev;
+            run_sym(cur_len, &s, &eb, &ev);
+            freqs_ll[s]++;
+            dist_sym(cur_dist, &s, &eb, &ev);
+            freqs_d[s]++;
+            tok_run[ntok] = (uint16_t)cur_len;
+            tok_dist[ntok] = (uint16_t)(cur_dist - 1);
+            tok_lit[ntok] = 0;
+            ntok++;
+            i += cur_len;
+            if (i < n) {
+                INS_UPTO(i);
+                FIND(i, cur_len, cur_dist);
+            } else cur_len = 0;
+        } else {
+            freqs_ll[in[i]]++;
+            tok_run[ntok] = 0;
+            tok_dist[ntok] = 0;
+            tok_lit[ntok] = in[i];
+            ntok++;
+            i++;
+            cur_len = nl; cur_dist = nd;
+        }
+    }
+    freqs_ll[256]++;
+
+    /* --- code lengths + degenerate fixes (reference semantics) --- */
+    int used_d = 0, last_d = -1;
+    for (int k = 0; k < 30; k++)
+        if (freqs_d[k]) { used_d++; last_d = k; }
+    if (used_d == 1) {
+        if (last_d + 1 < 30) freqs_d[last_d + 1] = 1;
+        else freqs_d[last_d - 1] = 1;
+    }
+    int used_ll = 0;
+    for (int k = 0; k < 288; k++) if (freqs_ll[k]) used_ll++;
+    if (used_ll < 2) freqs_ll[0]++;
+
+    static __thread uint8_t ll_lens[288], d_lens[30], clen_lens[19];
+    static __thread uint16_t ll_codes[288], d_codes[30], clen_codes[19];
+    huff_lengths(freqs_ll, 288, max_code_len, ll_lens);
+    huff_lengths(freqs_d, 30, max_code_len, d_lens);
+    canon_codes(ll_lens, 288, ll_codes);
+    canon_codes(d_lens, 30, d_codes);
+
+    /* trimmed counts */
+    int hlit = 288;
+    while (hlit > 257 && ll_lens[hlit - 1] == 0) hlit--;
+    int hdist = 30;
+    while (hdist > 1 && d_lens[hdist - 1] == 0) hdist--;
+
+    /* clen RLE (greedy, comp/Lz77Huffman.java:189-223 rules) */
+    uint8_t all_lens[288 + 30];
+    memcpy(all_lens, ll_lens, hlit);
+    memcpy(all_lens + hlit, d_lens, hdist);
+    int total = hlit + hdist;
+    static __thread uint8_t rle_sym[320];
+    static __thread uint8_t rle_extra[320];
+    int nrle = 0;
+    uint32_t clen_freq[19];
+    memset(clen_freq, 0, sizeof clen_freq);
+    {
+        int p = 0;
+        while (p < total) {
+            int val = all_lens[p];
+            if (val == 0) {
+                int run = 1;
+                while (run < 138 && p + run < total && all_lens[p + run] == 0) run++;
+                if (run < 3) { rle_sym[nrle] = 0; rle_extra[nrle++] = 0; clen_freq[0]++; p++; }
+                else if (run < 11) { rle_sym[nrle] = 17; rle_extra[nrle++] = (uint8_t)(run - 3); clen_freq[17]++; p += run; }
+                else { rle_sym[nrle] = 18; rle_extra[nrle++] = (uint8_t)(run - 11); clen_freq[18]++; p += run; }
+                continue;
+            }
+            if (p > 0) {
+                int run = 0;
+                while (run < 6 && p + run < total && all_lens[p + run] == all_lens[p - 1]) run++;
+                if (run >= 3) { rle_sym[nrle] = 16; rle_extra[nrle++] = (uint8_t)(run - 3); clen_freq[16]++; p += run; continue; }
+            }
+            rle_sym[nrle] = (uint8_t)val; rle_extra[nrle++] = 0; clen_freq[val]++; p++;
+        }
+    }
+    {
+        int used_c = 0, first_c = 0;
+        for (int k = 0; k < 19; k++) if (clen_freq[k]) { used_c++; first_c = k; }
+        if (used_c < 2) clen_freq[(first_c + 1) % 19]++;
+    }
+    huff_lengths(clen_freq, 19, 7, clen_lens);
+    canon_codes(clen_lens, 19, clen_codes);
+    int hclen = 19;
+    while (hclen > 4 && clen_lens[CLEN_ORDER[hclen - 1]] == 0) hclen--;
+
+    /* --- emit dynamic block --- */
+    BitOut o;
+    bo_init(&o, out, out_cap);
+    bo_write(&o, 1, 1); /* bfinal */
+    bo_write(&o, 2, 2); /* dynamic */
+    bo_write(&o, (uint32_t)(hlit - 257), 5);
+    bo_write(&o, (uint32_t)(hdist - 1), 5);
+    bo_write(&o, (uint32_t)(hclen - 4), 4);
+    for (int k = 0; k < hclen; k++) bo_write(&o, clen_lens[CLEN_ORDER[k]], 3);
+    for (int k = 0; k < nrle; k++) {
+        int s = rle_sym[k];
+        bo_write(&o, clen_codes[s], clen_lens[s]);
+        if (s == 16) bo_write(&o, rle_extra[k], 2);
+        else if (s == 17) bo_write(&o, rle_extra[k], 3);
+        else if (s == 18) bo_write(&o, rle_extra[k], 7);
+    }
+    for (int k = 0; k < ntok && !o.overflow; k++) {
+        if (tok_run[k] == 0) {
+            int s2 = tok_lit[k];
+            bo_write(&o, ll_codes[s2], ll_lens[s2]);
+        } else {
+            int s2, eb; uint32_t ev;
+            run_sym(tok_run[k], &s2, &eb, &ev);
+            bo_write(&o, ll_codes[s2], ll_lens[s2]);
+            if (eb) bo_write(&o, ev, eb);
+            dist_sym((uint32_t)tok_dist[k] + 1, &s2, &eb, &ev);
+            bo_write(&o, d_codes[s2], d_lens[s2]);
+            if (eb) bo_write(&o, ev, eb);
+        }
+    }
+    bo_write(&o, ll_codes[256], ll_lens[256]);
+    size_t csize = bo_finish(&o);
+
+    /* stored fallback */
+    size_t stored_size = 0;
+    {
+        size_t blocks = n / 65535 + 1;
+        stored_size = n + blocks * 5;
+    }
+    if (o.overflow || csize >= stored_size) {
+        if (stored_size > out_cap) return 0;
+        size_t p = 0, ip = 0;
+        while (1) {
+            size_t blk = n - ip > 65535 ? 65535 : n - ip;
+            int fin = (ip + blk == n);
+            out[p++] = (uint8_t)(fin ? 1 : 0);
+            out[p++] = (uint8_t)(blk & 0xFF);
+            out[p++] = (uint8_t)(blk >> 8);
+            out[p++] = (uint8_t)(~blk & 0xFF);
+            out[p++] = (uint8_t)((~blk >> 8) & 0xFF);
+            memcpy(out + p, in + ip, blk);
+            p += blk;
+            ip += blk;
+            if (ip >= n) break;
+        }
+        return p;
+    }
+    return csize;
+}

@@ -1,0 +1,233 @@
+"""Native host runtime: ctypes bindings for the C codec core.
+
+Builds ``deflate_core.c`` with the system compiler on first use (cached as
+a shared object next to the package); every entry point releases the GIL
+(plain ctypes foreign calls), so the member-parallel drivers below use a
+thread pool to saturate all host cores.
+
+Falls back gracefully: ``available()`` is False when no compiler works,
+and all callers route to the pure-Python/NumPy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "..", "..", "native", "deflate_core.c")
+_SO = os.path.join(_HERE, "_deflate_core.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _build() -> str | None:
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return None
+    so = _SO
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-march=native", "-shared", "-fPIC", "-o", so, src],
+                check=True,
+                capture_output=True,
+            )
+            return so
+        except (OSError, subprocess.CalledProcessError):
+            continue
+    return None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        so = _build()
+        if so is None:
+            _lib = False
+            return _lib
+        lib = ctypes.CDLL(so)
+        lib.td_crc32.restype = ctypes.c_uint32
+        lib.td_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.td_adler32.restype = ctypes.c_uint32
+        lib.td_adler32.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32]
+        lib.td_inflate.restype = ctypes.c_int
+        lib.td_inflate.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.td_deflate_member.restype = ctypes.c_size_t
+        lib.td_deflate_member.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not False
+
+
+# ---------------------------------------------------------------------------
+# Thin wrappers
+# ---------------------------------------------------------------------------
+
+
+def crc32(data: bytes, value: int = 0) -> int:
+    lib = _load()
+    return int(lib.td_crc32(data, len(data), value & 0xFFFFFFFF))
+
+
+def adler32(data: bytes, value: int = 1) -> int:
+    lib = _load()
+    return int(lib.td_adler32(data, len(data), value & 0xFFFFFFFF))
+
+
+def inflate_raw(payload: bytes, out_cap: int) -> tuple[bytes, int]:
+    """Decode a complete raw-DEFLATE stream. Returns (bytes, consumed).
+
+    Raises DataFormatError with the taxonomy Reason on malformed input.
+    """
+    from ..format.errors import check_device_error
+
+    lib = _load()
+    out = ctypes.create_string_buffer(out_cap)
+    out_len = ctypes.c_size_t(0)
+    consumed = ctypes.c_size_t(0)
+    rc = lib.td_inflate(
+        payload, len(payload), out, out_cap, ctypes.byref(out_len), ctypes.byref(consumed)
+    )
+    if rc == 100:
+        raise ValueError("output capacity too small")
+    check_device_error(rc)
+    return out.raw[: out_len.value], consumed.value
+
+
+def deflate_member_payload(data: bytes, *, max_code_len: int = 12, max_chain: int = 32) -> bytes:
+    """Encode <=64 KiB as a single final DEFLATE block (profile payload)."""
+    lib = _load()
+    cap = len(data) + len(data) // 8 + 1024
+    out = ctypes.create_string_buffer(cap)
+    n = lib.td_deflate_member(data, len(data), out, cap, max_code_len, max_chain)
+    if n == 0 and len(data) > 0:
+        raise RuntimeError("native deflate failed")
+    return out.raw[:n]
+
+
+# ---------------------------------------------------------------------------
+# Member-parallel drivers (the native engine)
+# ---------------------------------------------------------------------------
+
+_POOL: ThreadPoolExecutor | None = None
+
+
+def _pool() -> ThreadPoolExecutor:
+    global _POOL
+    if _POOL is None:
+        _POOL = ThreadPoolExecutor(max_workers=max(2, os.cpu_count() or 2))
+    return _POOL
+
+
+def compress_members_native(
+    data: bytes, *, member_data: int = 64 * 1024, max_code_len: int = 12, max_chain: int = 32
+) -> bytes:
+    """TPU-profile multi-member gzip via the native core, all host cores."""
+    from ..codec.profile import build_member, _empty_member
+
+    if not data:
+        return _empty_member()
+
+    def one(start: int) -> bytes:
+        chunk = data[start : start + member_data]
+        payload = deflate_member_payload(chunk, max_code_len=max_code_len, max_chain=max_chain)
+        return build_member(payload, len(chunk), crc32(chunk))
+
+    starts = range(0, len(data), member_data)
+    return b"".join(_pool().map(one, starts))
+
+
+def gzip_decompress_native(data: bytes) -> bytes:
+    """Member-parallel decode via the native core.
+
+    Uses the TD index for O(members) splitting when present; otherwise
+    decodes the stream as sequential members (still native-fast).
+    """
+    from ..codec.decode_jax import split_members
+    from ..format.errors import DataFormatError, Reason
+    from ..format.gzip_meta import GzipMetadata
+    import io
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    members = split_members(buf)
+    if members is not None:
+
+        def one(m) -> bytes:
+            payload = data[m.payload_start : m.end - 8]
+            out, _ = inflate_raw(payload, m.isize + 1)
+            if len(out) != m.isize:
+                raise DataFormatError(
+                    Reason.DECOMPRESSED_SIZE_MISMATCH, "Decompressed size mismatch"
+                )
+            if crc32(out) != m.crc32:
+                raise DataFormatError(
+                    Reason.DECOMPRESSED_CHECKSUM_MISMATCH, "Decompression CRC-32 mismatch"
+                )
+            return out
+
+        return b"".join(_pool().map(one, members))
+
+    # Foreign stream: sequential member walk, native inflate per member.
+    out_parts = []
+    stream = io.BytesIO(data)
+    while True:
+        pos = stream.tell()
+        probe = stream.read(1)
+        if not probe:
+            break
+        stream.seek(pos)
+        GzipMetadata.read(stream)
+        payload_start = stream.tell()
+        payload = data[payload_start:]
+        cap = max(8 * len(payload) + 1024, 1 << 20)
+        while True:
+            try:
+                out, consumed = inflate_raw(payload, cap)
+                break
+            except ValueError:  # output capacity too small: grow and retry
+                cap *= 4
+        trailer = payload[consumed : consumed + 8]
+        if len(trailer) < 8:
+            raise DataFormatError(Reason.UNEXPECTED_END_OF_STREAM, "Unexpected end of stream")
+        want_crc = int.from_bytes(trailer[:4], "little")
+        want_len = int.from_bytes(trailer[4:8], "little")
+        if crc32(out) != want_crc:
+            raise DataFormatError(
+                Reason.DECOMPRESSED_CHECKSUM_MISMATCH, "Decompression CRC-32 mismatch"
+            )
+        if (len(out) & 0xFFFFFFFF) != want_len:
+            raise DataFormatError(Reason.DECOMPRESSED_SIZE_MISMATCH, "Decompressed size mismatch")
+        out_parts.append(out)
+        stream.seek(payload_start + consumed + 8)
+    return b"".join(out_parts)

@@ -57,18 +57,18 @@ def make_corpus(total_mb: int = CORPUS_MB) -> bytes:
 
 
 def main() -> int:
-    from tpu_deflate.codec.decode_jax import gzip_decompress_tpu
-    from tpu_deflate.codec.encode_jax import compress_members_tpu
+    from tpu_deflate.engine import compress, decompress, _resolve
 
+    engine = _resolve("auto")
     data = make_corpus()
     n = len(data)
-    print(f"corpus: {n / 1e6:.1f} MB", file=sys.stderr)
+    print(f"corpus: {n / 1e6:.1f} MB, engine: {engine}", file=sys.stderr)
 
     t0 = time.monotonic()
-    gz = compress_members_tpu(data)
+    gz = compress(data, engine=engine)
     t_enc_cold = time.monotonic() - t0
     t0 = time.monotonic()
-    gz = compress_members_tpu(data)
+    gz = compress(data, engine=engine)
     t_enc = time.monotonic() - t0
     print(
         f"encode: cold {n / t_enc_cold / 1e6:.0f} MB/s, warm {n / t_enc / 1e6:.0f} MB/s, "
@@ -76,12 +76,12 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    out = gzip_decompress_tpu(gz)  # warm-up + verification (incl. CRC)
+    out = decompress(gz, engine=engine)  # warm-up + verification (incl. CRC)
     assert out == data, "decode mismatch"
     best = float("inf")
     for _ in range(3):
         t0 = time.monotonic()
-        out = gzip_decompress_tpu(gz, verify_crc=False)
+        out = decompress(gz, engine=engine)
         dt = time.monotonic() - t0
         best = min(best, dt)
     assert out == data
@@ -91,7 +91,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "synthetic-silesia gzip decode throughput (1 chip)",
+                "metric": "synthetic-silesia gzip decode throughput (1 node: host cores + 1 chip)",
                 "value": round(gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / BASELINE_GBPS, 4),

@@ -1,0 +1,137 @@
+"""Native C runtime + engine front door: differential tests vs zlib and
+the Python host codec, error taxonomy parity, cross-engine interchange."""
+
+import gzip as pygzip
+import io
+import os
+import random
+import zlib
+
+import pytest
+
+import tpu_deflate as td
+from tpu_deflate import native
+from tpu_deflate.engine import compress, decompress
+from tpu_deflate.format.errors import DataFormatError, Reason
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no C toolchain")
+
+
+def _structured(seed, n):
+    rng = random.Random(seed)
+    words = [bytes(rng.getrandbits(8) for _ in range(rng.randint(2, 9))) for _ in range(40)]
+    out = bytearray()
+    while len(out) < n:
+        out += rng.choice(words)
+    return bytes(out[:n])
+
+
+def test_native_checksums_match_zlib():
+    d = os.urandom(123457)
+    assert native.crc32(d) == zlib.crc32(d)
+    assert native.crc32(d, 0xABCD) == zlib.crc32(d, 0xABCD)
+    assert native.adler32(d) == zlib.adler32(d)
+
+
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_native_inflate_zlib_streams(level):
+    data = _structured(level, 200_000)
+    raw = zlib.compress(data, level)[2:-4]
+    out, consumed = native.inflate_raw(raw, len(data) + 1)
+    assert out == data
+    assert consumed == len(raw)
+
+
+def test_native_inflate_error_taxonomy():
+    # reserved block type
+    with pytest.raises(DataFormatError) as e:
+        native.inflate_raw(bytes([0x07]), 16)
+    assert e.value.reason == Reason.RESERVED_BLOCK_TYPE
+    # truncated
+    with pytest.raises(DataFormatError) as e:
+        native.inflate_raw(b"", 16)
+    assert e.value.reason == Reason.UNEXPECTED_END_OF_STREAM
+    # stored len mismatch
+    with pytest.raises(DataFormatError) as e:
+        native.inflate_raw(bytes([0x01, 0x10, 0x00, 0x12, 0x34]), 64)
+    assert e.value.reason == Reason.UNCOMPRESSED_BLOCK_LENGTH_MISMATCH
+
+
+def test_native_inflate_conformance_vectors():
+    """The transcribed reference vectors must behave identically in C."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from vectors import BAD_VECTORS, GOOD_VECTORS, bits_to_bytes
+
+    for name, bits, hexout in GOOD_VECTORS:
+        data = bits_to_bytes(bits, "0")
+        out, _ = native.inflate_raw(data, 1 << 16)
+        assert out == bytes.fromhex(hexout.replace(" ", "")), name
+    for name, bits, reason in BAD_VECTORS:
+        data = bits_to_bytes(bits, "0")
+        with pytest.raises(DataFormatError) as e:
+            native.inflate_raw(data, 1 << 16)
+        assert e.value.reason == reason, name
+
+
+def test_native_member_encode_decodable_everywhere():
+    for seed, n in [(1, 0), (2, 1), (3, 1000), (4, 65536)]:
+        data = _structured(seed, n)
+        payload = native.deflate_member_payload(data)
+        if n:
+            assert zlib.decompress(payload, -15) == data
+            assert td.inflate(payload) == data
+
+
+def test_native_profile_roundtrip_and_interop():
+    data = _structured(5, 400_000) + os.urandom(100_000)
+    gz = native.compress_members_native(data)
+    assert pygzip.decompress(gz) == data
+    assert native.gzip_decompress_native(gz) == data
+    assert td.gzip_decompress(gz) == data  # host engine reads native output
+    from tpu_deflate.codec.decode_jax import gzip_decompress_tpu
+
+    assert gzip_decompress_tpu(gz) == data  # device engine reads it too
+
+
+def test_native_decode_foreign_streams():
+    data = _structured(6, 150_000)
+    assert native.gzip_decompress_native(pygzip.compress(data)) == data
+    multi = pygzip.compress(data[:1000]) + pygzip.compress(data[1000:2000])
+    assert native.gzip_decompress_native(multi) == data[:2000]
+
+
+def test_native_corruption_detected():
+    data = _structured(7, 100_000)
+    gz = bytearray(native.compress_members_native(data))
+    gz[len(gz) // 2] ^= 0xFF
+    with pytest.raises(DataFormatError):
+        native.gzip_decompress_native(bytes(gz))
+
+
+def test_engine_cross_matrix():
+    data = _structured(8, 120_000)
+    for enc_engine in ["native", "host"]:
+        gz = compress(data, engine=enc_engine)
+        for dec_engine in ["native", "host"]:
+            assert decompress(gz, engine=dec_engine) == data, (enc_engine, dec_engine)
+        assert pygzip.decompress(gz) == data
+
+
+def test_engine_metadata_member():
+    from tpu_deflate.format.gzip_meta import GzipMetadata
+    from tpu_deflate.streams.gzip_stream import GzipReader
+
+    meta = GzipMetadata(file_name="f.bin", has_header_crc=True)
+    data = _structured(9, 50_000)
+    gz = compress(data, engine="native", metadata=meta)
+    assert pygzip.decompress(gz) == data
+    r = GzipReader(io.BytesIO(gz))
+    assert r.metadata.file_name == "f.bin"
+    # stream remains TD-splittable
+    import numpy as np
+
+    from tpu_deflate.codec.decode_jax import split_members
+
+    assert split_members(np.frombuffer(gz, np.uint8)) is not None

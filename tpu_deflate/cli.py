@@ -48,10 +48,10 @@ def main_gzip(args: list[str]) -> int:
         has_header_crc=True,
     )
     start = time.monotonic()
-    if engine == "tpu":
-        from tpu_deflate.codec.encode_jax import gzip_compress_tpu
+    if engine in ("auto", "native", "tpu"):
+        from tpu_deflate.engine import compress
 
-        out = gzip_compress_tpu(data, effort=effort, metadata=meta)
+        out = compress(data, engine=engine, effort=effort, metadata=meta)
     else:
         out = td.gzip_compress(data, effort=effort, metadata=meta)
     elapsed = max(time.monotonic() - start, 1e-9)
@@ -80,11 +80,11 @@ def main_gunzip(args: list[str]) -> int:
         return 1
 
     start = time.monotonic()
-    if engine == "tpu":
-        from tpu_deflate.codec.decode_jax import gzip_decompress_tpu
+    if engine in ("auto", "native", "tpu"):
+        from tpu_deflate.engine import decompress
 
         raw = open(in_path, "rb").read()
-        out = gzip_decompress_tpu(raw)
+        out = decompress(raw, engine=engine)
         meta = GzipReader(open(in_path, "rb")).metadata
     else:
         with open(in_path, "rb") as f:
@@ -119,7 +119,7 @@ def main_gunzip(args: list[str]) -> int:
 
 def _parse_opts(args: list[str]):
     effort = 2
-    engine = "host"
+    engine = "auto"
     rest = []
     it = iter(args)
     for a in it:

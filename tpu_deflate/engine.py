@@ -1,0 +1,98 @@
+"""Engine selection: one front door over the three codec backends.
+
+- ``native``: C host runtime, member-parallel over host cores (fastest on
+  this machine; the production host path).
+- ``tpu``: the JAX device kernels (bit-parallel decode, batched analyze
+  encode). The TPU-native compute path; on backends with slow dynamic
+  gathers (see decode_jax docstring) it is correctness-complete but not
+  the throughput choice.
+- ``host``: pure Python/NumPy reference implementations (always present).
+
+``auto`` picks native when the compiler toolchain produced the extension,
+else host. All engines emit/consume the same standard formats; outputs
+are interchangeable and cross-verified in tests.
+"""
+
+from __future__ import annotations
+
+import io
+
+
+def compress(data: bytes, *, engine: str = "auto", effort: int = 2, metadata=None) -> bytes:
+    """Compress to (profile) gzip with the selected engine."""
+    engine = _resolve(engine)
+    if engine == "native":
+        from . import native
+
+        chain = {0: 0, 1: 4, 2: 32, 3: 64, 4: 128, 5: 256}.get(effort, 32)
+        if effort == 0:
+            from .codec.profile import profile_compress_host
+
+            # stored-only still goes through the host strategy system
+            import tpu_deflate as td
+
+            return td.gzip_compress(data, effort=0, metadata=metadata)
+        out = native.compress_members_native(data, max_chain=chain)
+        return _prepend_metadata(out, metadata)
+    if engine == "tpu":
+        from .codec.encode_jax import compress_members_tpu
+
+        return _prepend_metadata(compress_members_tpu(data), metadata)
+    import tpu_deflate as td
+
+    return td.gzip_compress(data, effort=effort, metadata=metadata)
+
+
+def decompress(data: bytes, *, engine: str = "auto") -> bytes:
+    engine = _resolve(engine)
+    if engine == "native":
+        from . import native
+
+        return native.gzip_decompress_native(data)
+    if engine == "tpu":
+        from .codec.decode_jax import gzip_decompress_tpu
+
+        return gzip_decompress_tpu(data)
+    import tpu_deflate as td
+
+    return td.gzip_decompress(data)
+
+
+def _resolve(engine: str) -> str:
+    if engine != "auto":
+        return engine
+    try:
+        from . import native
+
+        if native.available():
+            return "native"
+    except Exception:
+        pass
+    return "host"
+
+
+def _prepend_metadata(out: bytes, metadata) -> bytes:
+    """Metadata rides on a leading empty member that still carries the TD
+    size subfield, so the stream stays O(members)-splittable."""
+    if metadata is None:
+        return out
+    from dataclasses import replace
+
+    from .codec.profile import TD_SUBFIELD
+    from .kernels.checksum import crc32
+
+    # Merge a TD subfield (placeholder size) into the metadata's FEXTRA.
+    td_field = TD_SUBFIELD + (4).to_bytes(2, "little") + bytes(4)
+    extra = (metadata.extra_field or b"") + td_field
+    meta2 = replace(metadata, extra_field=extra)
+    header = bytearray(meta2.to_bytes())
+    empty_payload = bytes([0x01, 0x00, 0x00, 0xFF, 0xFF])  # final stored, len 0
+    trailer = crc32(b"").to_bytes(4, "little") + bytes(4)
+    total = len(header) + len(empty_payload) + len(trailer)
+    # Patch the TD size (the last subfield of the extra block).
+    xlen_off = 12 + len(extra) - 4
+    header[xlen_off : xlen_off + 4] = total.to_bytes(4, "little")
+    if meta2.has_header_crc:
+        # header CRC covers everything before it; recompute last two bytes
+        header[-2:] = (crc32(bytes(header[:-2])) & 0xFFFF).to_bytes(2, "little")
+    return bytes(header) + empty_payload + trailer + out

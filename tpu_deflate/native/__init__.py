@@ -185,7 +185,13 @@ def gzip_decompress_native(data: bytes) -> bytes:
 
         def one(m) -> bytes:
             payload = data[m.payload_start : m.end - 8]
-            out, _ = inflate_raw(payload, m.isize + 1)
+            try:
+                out, _ = inflate_raw(payload, m.isize + 1)
+            except ValueError:
+                # decoded past the trailer-declared size
+                raise DataFormatError(
+                    Reason.DECOMPRESSED_SIZE_MISMATCH, "Decompressed size mismatch"
+                )
             if len(out) != m.isize:
                 raise DataFormatError(
                     Reason.DECOMPRESSED_SIZE_MISMATCH, "Decompressed size mismatch"
@@ -196,7 +202,13 @@ def gzip_decompress_native(data: bytes) -> bytes:
                 )
             return out
 
-        return b"".join(_pool().map(one, members))
+        def group(ms) -> bytes:
+            return b"".join(one(m) for m in ms)
+
+        # Group members per task to amortize pool/ctypes overhead.
+        g = 16
+        groups = [members[i : i + g] for i in range(0, len(members), g)]
+        return b"".join(_pool().map(group, groups))
 
     # Foreign stream: sequential member walk, native inflate per member.
     out_parts = []

@@ -275,6 +275,11 @@ class BitReader:
         return self._consumed_chunks + self._chunk_pos - self._reg_bits // 8
 
     @property
+    def bit_position(self) -> int:
+        """Exact number of bits consumed from the source so far."""
+        return (self._consumed_chunks + self._chunk_pos) * 8 - self._reg_bits
+
+    @property
     def overread_bytes(self) -> int:
         """Bytes fetched from the source beyond ``consumed_bytes``."""
         return self._consumed_chunks + len(self._chunk) - self.consumed_bytes

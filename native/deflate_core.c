@@ -402,6 +402,39 @@ int td_inflate(const uint8_t *in, size_t in_len, uint8_t *out, size_t out_cap,
 }
 
 /* ------------------------------------------------------------------ */
+/* Token resolve: expand a device-decoded token stream to bytes        */
+/* (phase 2 of the TPU decoder: LZ77 expansion is memcpy-bound host    */
+/* work; tokens are literal byte, or bit26 | run<<16 | (dist-1)).      */
+/* ------------------------------------------------------------------ */
+
+int td_resolve_tokens(const int32_t *tokens, size_t ntok, uint8_t *out,
+                      size_t out_cap, size_t *out_len) {
+    size_t op = 0;
+    for (size_t k = 0; k < ntok; k++) {
+        int32_t t = tokens[k];
+        if (!(t & (1 << 26))) {
+            if (op >= out_cap) return TD_E_OUTPUT_OVERFLOW;
+            out[op++] = (uint8_t)(t & 0xFF);
+            continue;
+        }
+        uint32_t run = ((uint32_t)t >> 16) & 0x3FF;
+        uint32_t dist = ((uint32_t)t & 0xFFFF) + 1;
+        if (dist > op) return TD_E_BEFORE_START;
+        if (op + run > out_cap) return TD_E_OUTPUT_OVERFLOW;
+        if (dist >= run) {
+            memcpy(out + op, out + op - dist, run);
+        } else {
+            const uint8_t *src = out + op - dist;
+            uint8_t *dst = out + op;
+            for (uint32_t j = 0; j < run; j++) dst[j] = src[j];
+        }
+        op += run;
+    }
+    *out_len = op;
+    return TD_OK;
+}
+
+/* ------------------------------------------------------------------ */
 /* Deflate: one-shot member payload encoder (single final block)       */
 /* ------------------------------------------------------------------ */
 

@@ -50,9 +50,9 @@ def decompress(data: bytes, *, engine: str = "auto") -> bytes:
 
         return native.gzip_decompress_native(data)
     if engine == "tpu":
-        from .codec.decode_jax import gzip_decompress_tpu
+        from .codec.decode_jax_v2 import gzip_decompress_tpu_v2
 
-        return gzip_decompress_tpu(data)
+        return gzip_decompress_tpu_v2(data)
     import tpu_deflate as td
 
     return td.gzip_decompress(data)

@@ -73,6 +73,14 @@ def _load():
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.td_resolve_tokens.restype = ctypes.c_int
+        lib.td_resolve_tokens.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
         lib.td_deflate_member.restype = ctypes.c_size_t
         lib.td_deflate_member.argtypes = [
             ctypes.c_char_p,
@@ -123,6 +131,24 @@ def inflate_raw(payload: bytes, out_cap: int) -> tuple[bytes, int]:
         raise ValueError("output capacity too small")
     check_device_error(rc)
     return out.raw[: out_len.value], consumed.value
+
+
+def resolve_tokens(tokens: np.ndarray, out_cap: int) -> bytes:
+    """Expand a device-decoded token array (int32) to bytes."""
+    from ..format.errors import check_device_error
+
+    lib = _load()
+    tokens = np.ascontiguousarray(tokens, dtype=np.int32)
+    out = ctypes.create_string_buffer(out_cap)
+    out_len = ctypes.c_size_t(0)
+    rc = lib.td_resolve_tokens(
+        tokens.ctypes.data_as(ctypes.c_void_p), tokens.size, out, out_cap,
+        ctypes.byref(out_len),
+    )
+    if rc == 100:
+        raise ValueError("output capacity too small")
+    check_device_error(rc)
+    return out.raw[: out_len.value]
 
 
 def deflate_member_payload(data: bytes, *, max_code_len: int = 12, max_chain: int = 32) -> bytes:

@@ -94,7 +94,15 @@ def main_gunzip(args: list[str]) -> int:
     elapsed = max(time.monotonic() - start, 1e-9)
 
     # Metadata report (≙ gunzip.java:53-94)
-    print(f"Last modified: {meta.modification_time_unix_s or 'N/A'}", file=sys.stderr)
+    if meta.modification_time_unix_s:
+        import datetime
+
+        ts = datetime.datetime.fromtimestamp(
+            meta.modification_time_unix_s, datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S UTC")
+        print(f"Last modified: {ts}", file=sys.stderr)
+    else:
+        print("Last modified: N/A", file=sys.stderr)
     print(f"Extra flags: {meta.extra_flags}", file=sys.stderr)
     print(f"Operating system: {meta.operating_system.name}", file=sys.stderr)
     print(f"File mode: {'text' if meta.is_file_text else 'binary'}", file=sys.stderr)

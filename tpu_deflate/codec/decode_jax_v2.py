@@ -52,6 +52,9 @@ ENTRY_WIN = 42  # max bits one symbol group consumes -> tile entry window
 SENT_EOB = 1 << 20
 SENT_ERR = 1 << 21
 
+V2_LANE_BATCH = 256  # per-batch overhead (host parse, uploads) amortizes
+V2_L_BUCKETS = (4, 16, 64, V2_LANE_BATCH)
+
 _ERR_END = reason_to_code(Reason.UNEXPECTED_END_OF_STREAM)
 
 TOKEN_MATCH_BIT = 1 << 26
@@ -315,8 +318,8 @@ def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True) -> bytes:
         else:
             huff.append((i, m))
 
-    for base in range(0, len(huff), dj.LANE_BATCH):
-        batch = huff[base : base + dj.LANE_BATCH]
+    for base in range(0, len(huff), V2_LANE_BATCH):
+        batch = huff[base : base + V2_LANE_BATCH]
         results = _decode_batch_v2(buf, [m for _, m in batch], have_native, verify_crc)
         for (i, _), r in zip(batch, results):
             out_parts[i] = r
@@ -329,7 +332,7 @@ def _decode_batch_v2(buf, batch, have_native, verify_crc):
     from . import decode_jax as dj
 
     L_real = len(batch)
-    L = dj._bucket(L_real, dj._L_BUCKETS)
+    L = dj._bucket(L_real, V2_L_BUCKETS)
     pay_lens = np.zeros(L, dtype=np.int64)
     pay_lens[:L_real] = [m.end - 8 - m.payload_start for m in batch]
     if pay_lens.max() > dj.PAYLOAD_PAD:
@@ -421,4 +424,12 @@ def decode_tokens_v2(payload_np, start_rem, payload_bits, litlen_lut, dist_lut, 
     reached_t = stage_d_reached(delta_tiles, entries)
     reached = reached_t.reshape(L, B)
     tokens, sizes_c, counts = compact_tokens(token, sizes, reached, 65537)
-    return np.asarray(tokens), np.asarray(counts), np.asarray(final)
+    # Pull counts first (tiny); then only the token columns actually used —
+    # the device->host link is the scarce resource on tunneled backends.
+    counts_h = np.asarray(counts)
+    final_h = np.asarray(final)
+    kmax = int(counts_h.max()) if counts_h.size else 0
+    bucket = 4096
+    k = min(65537, -(-max(kmax, 1) // bucket) * bucket)
+    tokens_h = np.asarray(tokens[:, :k])
+    return tokens_h, counts_h, final_h

@@ -632,34 +632,71 @@ static inline uint32_t hash4(const uint8_t *p) {
     return (x * 2654435761u) >> (32 - HASH_BITS);
 }
 
+/* Core block encoder.
+ *
+ * in = [history (hist_len bytes) | data (n bytes)], total <= 128 KiB.
+ * Emits ONE DEFLATE block covering the data (dynamic, or stored when
+ * smaller and byte-alignable), starting at bit position start_bit (0-7)
+ * with seed_byte's low start_bit bits already occupied. Matches may
+ * reach into the history (the continuous-stream mode: ≙ the reference's
+ * sliding [history][data] buffer, DeflaterOutputStream.java:38-45).
+ *
+ * Returns the TOTAL bit count (including start_bit) written into out
+ * (out[0] is OR-seeded with seed_byte), or 0 on error. */
+static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
+                            uint8_t *out, size_t out_cap, int final,
+                            int start_bit, uint8_t seed_byte,
+                            int max_code_len, int max_chain);
+
 /* Encode one member payload (<= 64 KiB data) as a single final DEFLATE
  * block with code lengths capped at max_code_len. Falls back to stored
  * blocks when that is smaller. Returns compressed size, or 0 on error. */
 size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_cap,
                          int max_code_len, int max_chain) {
-    /* --- tokenize: hash-chain lazy matcher (zlib-flavored) --- */
+    size_t bits = deflate_block(in, 0, n, out, out_cap, 1, 0, 0,
+                                max_code_len, max_chain);
+    if (bits == 0 && n > 0) return 0;
+    return (bits + 7) / 8;
+}
+
+/* Exported generalized block encoder (continuous-stream building block). */
+size_t td_deflate_block(const uint8_t *in, size_t hist_len, size_t n,
+                        uint8_t *out, size_t out_cap, int final,
+                        int start_bit, unsigned seed_byte,
+                        int max_code_len, int max_chain) {
+    return deflate_block(in, hist_len, n, out, out_cap, final, start_bit,
+                         (uint8_t)seed_byte, max_code_len, max_chain);
+}
+
+#define ENC_MAX_TOTAL (1 << 17)
+
+static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
+                            uint8_t *out, size_t out_cap, int final,
+                            int start_bit, uint8_t seed_byte,
+                            int max_code_len, int max_chain) {
+    /* --- tokenize: hash-chain lazy matcher over [history | data] --- */
     static __thread int32_t head[HASH_SIZE];
-    static __thread int32_t prevtab[1 << 16];
+    static __thread int32_t prevtab[ENC_MAX_TOTAL];
     static __thread uint16_t tok_run[1 << 16];
     static __thread uint16_t tok_dist[1 << 16];
     static __thread uint8_t tok_lit[1 << 16];
     static __thread uint32_t freqs_ll[288], freqs_d[30];
-    if (n > (1 << 16) || out_cap < 64) return 0;
+    size_t total = hist_len + n;
+    if (n > (1 << 16) || total > ENC_MAX_TOTAL || out_cap < 64) return 0;
+    if (start_bit < 0 || start_bit > 7) return 0;
     memset(freqs_ll, 0, sizeof freqs_ll);
     memset(freqs_d, 0, sizeof freqs_d);
     memset(head, -1, sizeof head);
     int ntok = 0;
-    size_t i = 0;
+    size_t i = hist_len;
 
-    /* best match at position i; candidates are strictly-earlier inserted
-     * positions. Mismatch detection 8 bytes at a time via ctz. */
     #define FIND(ipos, bestlen_out, bestdist_out) do { \
         uint32_t _bl = 0, _bd = 0; \
-        if ((ipos) + 4 <= n) { \
+        if ((ipos) + 4 <= total) { \
             uint32_t _h = hash4(in + (ipos)); \
             int32_t _c = head[_h]; \
             int _chain = max_chain; \
-            uint32_t _lim = n - (ipos) < 258 ? (uint32_t)(n - (ipos)) : 258; \
+            uint32_t _lim = total - (ipos) < 258 ? (uint32_t)(total - (ipos)) : 258; \
             while (_c >= 0 && _chain-- > 0) { \
                 uint32_t _d = (uint32_t)((ipos) - _c); \
                 if (_d > WIN) break; \
@@ -683,25 +720,23 @@ size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_c
     } while (0)
 
     #define INSERT(ipos) do { \
-        if ((ipos) + 4 <= n) { \
+        if ((ipos) + 4 <= total) { \
             uint32_t _h = hash4(in + (ipos)); \
             prevtab[ipos] = head[_h]; \
             head[_h] = (int32_t)(ipos); \
         } \
     } while (0)
 
-    /* ins = next position to add to the hash chains; a position is always
-     * inserted before any FIND at a later position, never before a FIND
-     * at itself (so no zero-distance self matches). */
     size_t ins = 0;
-    #define INS_UPTO(x) do { while (ins < (x) && ins < n) { INSERT(ins); ins++; } } while (0)
+    #define INS_UPTO(x) do { while (ins < (x) && ins < total) { INSERT(ins); ins++; } } while (0)
 
     uint32_t cur_len = 0, cur_dist = 0;
-    FIND(0, cur_len, cur_dist);
-    INS_UPTO(1);
-    while (i < n) {
+    INS_UPTO(hist_len);
+    FIND(hist_len, cur_len, cur_dist);
+    INS_UPTO(hist_len + 1);
+    while (i < total) {
         uint32_t nl = 0, nd = 0;
-        if (i + 1 < n) {
+        if (i + 1 < total) {
             INS_UPTO(i + 1);
             FIND(i + 1, nl, nd);
         }
@@ -717,7 +752,7 @@ size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_c
             tok_lit[ntok] = 0;
             ntok++;
             i += cur_len;
-            if (i < n) {
+            if (i < total) {
                 INS_UPTO(i);
                 FIND(i, cur_len, cur_dist);
             } else cur_len = 0;
@@ -752,7 +787,6 @@ size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_c
     canon_codes(ll_lens, 288, ll_codes);
     canon_codes(d_lens, 30, d_codes);
 
-    /* trimmed counts */
     int hlit = 288;
     while (hlit > 257 && ll_lens[hlit - 1] == 0) hlit--;
     int hdist = 30;
@@ -762,7 +796,7 @@ size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_c
     uint8_t all_lens[288 + 30];
     memcpy(all_lens, ll_lens, hlit);
     memcpy(all_lens + hlit, d_lens, hdist);
-    int total = hlit + hdist;
+    int rle_total = hlit + hdist;
     static __thread uint8_t rle_sym[320];
     static __thread uint8_t rle_extra[320];
     int nrle = 0;
@@ -770,11 +804,11 @@ size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_c
     memset(clen_freq, 0, sizeof clen_freq);
     {
         int p = 0;
-        while (p < total) {
+        while (p < rle_total) {
             int val = all_lens[p];
             if (val == 0) {
                 int run = 1;
-                while (run < 138 && p + run < total && all_lens[p + run] == 0) run++;
+                while (run < 138 && p + run < rle_total && all_lens[p + run] == 0) run++;
                 if (run < 3) { rle_sym[nrle] = 0; rle_extra[nrle++] = 0; clen_freq[0]++; p++; }
                 else if (run < 11) { rle_sym[nrle] = 17; rle_extra[nrle++] = (uint8_t)(run - 3); clen_freq[17]++; p += run; }
                 else { rle_sym[nrle] = 18; rle_extra[nrle++] = (uint8_t)(run - 11); clen_freq[18]++; p += run; }
@@ -782,7 +816,7 @@ size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_c
             }
             if (p > 0) {
                 int run = 0;
-                while (run < 6 && p + run < total && all_lens[p + run] == all_lens[p - 1]) run++;
+                while (run < 6 && p + run < rle_total && all_lens[p + run] == all_lens[p - 1]) run++;
                 if (run >= 3) { rle_sym[nrle] = 16; rle_extra[nrle++] = (uint8_t)(run - 3); clen_freq[16]++; p += run; continue; }
             }
             rle_sym[nrle] = (uint8_t)val; rle_extra[nrle++] = 0; clen_freq[val]++; p++;
@@ -801,7 +835,12 @@ size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_c
     /* --- emit dynamic block --- */
     BitOut o;
     bo_init(&o, out, out_cap);
-    bo_write(&o, 1, 1); /* bfinal */
+    if (start_bit) {
+        out[0] = 0;
+        o.reg = seed_byte & ((1u << start_bit) - 1);
+        o.reg_bits = start_bit;
+    }
+    bo_write(&o, final ? 1 : 0, 1);
     bo_write(&o, 2, 2); /* dynamic */
     bo_write(&o, (uint32_t)(hlit - 257), 5);
     bo_write(&o, (uint32_t)(hdist - 1), 5);
@@ -829,31 +868,44 @@ size_t td_deflate_member(const uint8_t *in, size_t n, uint8_t *out, size_t out_c
         }
     }
     bo_write(&o, ll_codes[256], ll_lens[256]);
-    size_t csize = bo_finish(&o);
+    size_t dyn_bits = (size_t)o.pos * 8 + (size_t)o.reg_bits;
+    bo_finish(&o);
 
-    /* stored fallback */
-    size_t stored_size = 0;
+    /* stored fallback: header(3) + pad-to-byte + (5-byte hdr + data)/block */
+    size_t stored_bits;
     {
         size_t blocks = n / 65535 + 1;
-        stored_size = n + blocks * 5;
+        size_t pad = (8 - ((start_bit + 3) & 7)) & 7;
+        stored_bits = (size_t)start_bit + 3 + pad + blocks * 40 - 40 +
+                      (n + blocks * 4) * 8 + 32;
+        /* (first block header counted in 3+pad+32; later blocks 40 bits) */
     }
-    if (o.overflow || csize >= stored_size) {
-        if (stored_size > out_cap) return 0;
-        size_t p = 0, ip = 0;
-        while (1) {
-            size_t blk = n - ip > 65535 ? 65535 : n - ip;
-            int fin = (ip + blk == n);
-            out[p++] = (uint8_t)(fin ? 1 : 0);
-            out[p++] = (uint8_t)(blk & 0xFF);
-            out[p++] = (uint8_t)(blk >> 8);
-            out[p++] = (uint8_t)(~blk & 0xFF);
-            out[p++] = (uint8_t)((~blk >> 8) & 0xFF);
-            memcpy(out + p, in + ip, blk);
-            p += blk;
-            ip += blk;
-            if (ip >= n) break;
+    if (o.overflow || dyn_bits >= stored_bits) {
+        if ((stored_bits + 7) / 8 > out_cap) return 0;
+        BitOut so;
+        bo_init(&so, out, out_cap);
+        if (start_bit) {
+            out[0] = 0;
+            so.reg = seed_byte & ((1u << start_bit) - 1);
+            so.reg_bits = start_bit;
         }
-        return p;
+        size_t ip = 0;
+        do {
+            size_t blk = n - ip > 65535 ? 65535 : n - ip;
+            int fin = final && (ip + blk == n);
+            bo_write(&so, (uint32_t)(fin ? 1 : 0), 1);
+            bo_write(&so, 0, 2);
+            int pad = (int)((8 - (((size_t)so.pos * 8 + so.reg_bits) & 7)) & 7);
+            if (pad) bo_write(&so, 0, pad);
+            bo_write(&so, (uint32_t)(blk & 0xFFFF), 16);
+            bo_write(&so, (uint32_t)(~blk & 0xFFFF), 16);
+            for (size_t k2 = 0; k2 < blk; k2++) bo_write(&so, in[hist_len + ip + k2], 8);
+            ip += blk;
+        } while (ip < n);
+        size_t sbits = (size_t)so.pos * 8 + (size_t)so.reg_bits;
+        bo_finish(&so);
+        if (so.overflow) return 0;
+        return sbits;
     }
-    return csize;
+    return dyn_bits;
 }

@@ -135,3 +135,39 @@ def test_engine_metadata_member():
     from tpu_deflate.codec.decode_jax import split_members
 
     assert split_members(np.frombuffer(gz, np.uint8)) is not None
+
+
+def test_continuous_mode_ratio_and_interop():
+    """Continuous-history mode: one member, near-zlib ratio, standard."""
+    rng = random.Random(42)
+    s = (b"the quick brown fox jumps over the lazy dog and some more words "
+         b"for compression with repeats appearing often enough in text ")
+    data = bytearray()
+    while len(data) < 400_000:
+        data += s[rng.randint(0, 40):]
+    data = bytes(data[:400_000])
+    gz = native.compress_continuous_native(data, max_chain=256)
+    assert pygzip.decompress(gz) == data
+    assert native.gzip_decompress_native(gz) == data
+    assert td.gzip_decompress(gz) == data
+    zl9 = len(zlib.compress(data, 9))
+    assert len(gz) < zl9 * 1.08, (len(gz), zl9)
+    # single member, still TD-indexed
+    import numpy as np
+
+    from tpu_deflate.codec.decode_jax import split_members
+
+    members = split_members(np.frombuffer(gz, np.uint8))
+    assert members is not None and len(members) == 1
+
+
+def test_continuous_mode_engine_efforts():
+    data = _structured(20, 200_000)
+    prev = None
+    for effort in [2, 4, 5]:
+        gz = compress(data, engine="native", effort=effort)
+        assert pygzip.decompress(gz) == data
+        assert decompress(gz, engine="native") == data
+        if prev is not None:
+            assert len(gz) <= prev * 1.02, (effort, len(gz), prev)
+        prev = len(gz)

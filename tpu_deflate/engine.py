@@ -24,15 +24,19 @@ def compress(data: bytes, *, engine: str = "auto", effort: int = 2, metadata=Non
     if engine == "native":
         from . import native
 
-        chain = {0: 0, 1: 4, 2: 32, 3: 64, 4: 128, 5: 256}.get(effort, 32)
         if effort == 0:
-            from .codec.profile import profile_compress_host
-
-            # stored-only still goes through the host strategy system
+            # stored-only goes through the host strategy system
             import tpu_deflate as td
 
             return td.gzip_compress(data, effort=0, metadata=metadata)
-        out = native.compress_members_native(data, max_chain=chain)
+        if effort >= 4:
+            # max-ratio mode: one member, continuous 32 KiB history across
+            # blocks (~zlib-9 class); trades away member-parallel decode.
+            chain = 128 if effort == 4 else 512
+            out = native.compress_continuous_native(data, max_chain=chain)
+        else:
+            chain = {1: 4, 2: 32, 3: 64}[effort]
+            out = native.compress_members_native(data, max_chain=chain)
         return _prepend_metadata(out, metadata)
     if engine == "tpu":
         from .codec.encode_jax import compress_members_tpu

@@ -90,6 +90,19 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.td_deflate_block.restype = ctypes.c_size_t
+        lib.td_deflate_block.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_uint,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -192,6 +205,52 @@ def compress_members_native(
 
     starts = range(0, len(data), member_data)
     return b"".join(_pool().map(one, starts))
+
+
+def compress_continuous_native(
+    data: bytes, *, block_data: int = 64 * 1024, max_code_len: int = 15, max_chain: int = 64
+) -> bytes:
+    """Single-member continuous-history gzip (max ratio, sequential).
+
+    Blocks of ``block_data`` bytes share a sliding 32 KiB history (the
+    reference's [history][data] buffering, DeflaterOutputStream.java:38-45),
+    emitted bit-contiguously into one member — ~zlib-class ratio, at the
+    cost of member-parallel decodability. The TD subfield still indexes
+    the single member.
+    """
+    from ..codec.profile import build_member, _empty_member
+
+    if not data:
+        return _empty_member()
+    lib = _load()
+    out = bytearray()
+    partial = 0  # seed byte value
+    bitpos = 0  # bits used in the trailing partial byte
+    pos = 0
+    n = len(data)
+    hist = 32 * 1024
+    while pos < n:
+        blk = min(block_data, n - pos)
+        h = min(hist, pos)
+        final = pos + blk >= n
+        buf = data[pos - h : pos + blk]
+        cap = blk + blk // 4 + 2048
+        obuf = ctypes.create_string_buffer(cap)
+        bits = lib.td_deflate_block(
+            buf, h, blk, obuf, cap, 1 if final else 0, bitpos, partial,
+            max_code_len, max_chain,
+        )
+        if bits == 0:
+            raise RuntimeError("native deflate_block failed")
+        whole, rem = divmod(int(bits), 8)
+        raw = obuf.raw
+        out += raw[:whole]
+        partial = raw[whole] if rem else 0
+        bitpos = rem
+        pos += blk
+    if bitpos:
+        out.append(partial)
+    return build_member(bytes(out), n, crc32(data))
 
 
 def gzip_decompress_native(data: bytes) -> bytes:

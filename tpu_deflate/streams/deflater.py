@@ -73,6 +73,10 @@ class Deflater:
             self._data_len += n
         return len(data)
 
+    def write_byte(self, b: int) -> None:
+        """Single-byte write (≙ ``DeflaterOutputStream.write(int b)``)."""
+        self.write(bytes([b & 0xFF]))
+
     def finish(self) -> None:
         """Emit the final block (even if empty) and byte-align the output."""
         self._check_open()

@@ -114,3 +114,15 @@ def test_graft_entry_single_and_multi():
     assert (np.asarray(err) == 0).all()
     assert (np.asarray(tcount) == 0).all()  # EOB-only payloads
     mod.dryrun_multichip(8)
+
+
+def test_pod_mesh_and_halo_on_2d():
+    """2-D (host, data) mesh: the multi-host topology helper."""
+    from tpu_deflate.dist.mesh import make_pod_mesh
+
+    mesh = make_pod_mesh(2, 4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("host", "data")
+    vals = np.arange(4 * 6, dtype=np.int32).reshape(4, 6)
+    out = np.asarray(psum_stats(jnp.asarray(vals), make_codec_mesh(4)))
+    np.testing.assert_array_equal(out.reshape(6), vals.sum(axis=0))

@@ -158,3 +158,37 @@ def test_random_fixed_huffman_literals():
             bits += "0000000"
         data = bits_to_bytes(bits, "random")
         assert inflate(data) == expect
+
+
+def test_random_streams_through_native_decoder():
+    """The randomized alignment-stress streams also run through the C
+    decoder (same semantics as the host state machine)."""
+    from tpu_deflate import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no C toolchain")
+    rng = random.Random(77)
+    for _ in range(15):
+        num_blocks = rng.randrange(12) + 1
+        bits, expect = "", b""
+        for j in range(num_blocks):
+            final = j == num_blocks - 1
+            if rng.random() < 0.5:
+                bits += ("1" if final else "0") + "00"
+                while len(bits) % 8 != 0:
+                    bits += rng.choice("01")
+                ln = rng.randrange(200)
+                tmp = ln | ((~ln & 0xFFFF) << 16)
+                bits += "".join(str((tmp >> k) & 1) for k in range(32))
+                data = bytes(rng.randrange(256) for _ in range(ln))
+                for b in data:
+                    bits += "".join(str((b >> k) & 1) for k in range(8))
+                expect += data
+            else:
+                bits += ("1" if final else "0") + "10" + "111111111" + "0000000"
+                expect += b"\xff"
+        data = bits_to_bytes(bits, "0")
+        out, _ = native.inflate_raw(data, len(expect) + 16)
+        assert out == expect

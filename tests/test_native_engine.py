@@ -171,3 +171,17 @@ def test_continuous_mode_engine_efforts():
         if prev is not None:
             assert len(gz) <= prev * 1.02, (effort, len(gz), prev)
         prev = len(gz)
+
+
+def test_native_zlib_container():
+    data = _structured(30, 150_000)
+    z = native.zlib_compress_native(data)
+    assert zlib.decompress(z) == data
+    assert native.zlib_decompress_native(z) == data
+    assert td.zlib_decompress(z) == data
+    assert native.zlib_decompress_native(zlib.compress(data, 9)) == data
+    # corruption -> adler mismatch
+    bad = bytearray(z)
+    bad[-1] ^= 1
+    with pytest.raises(DataFormatError):
+        native.zlib_decompress_native(bytes(bad))

@@ -26,7 +26,7 @@ single used distance -> bump an adjacent distance count
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..format.errors import DataFormatError, Reason
+from ..format.errors import DataFormatError
 
 
 def pack_bits(values: np.ndarray, nbits: np.ndarray, bit_offset: int = 0) -> tuple[np.ndarray, int]:

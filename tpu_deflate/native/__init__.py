@@ -222,10 +222,23 @@ def compress_continuous_native(
 
     if not data:
         return _empty_member()
+    payload = deflate_raw_continuous(
+        data, block_data=block_data, max_code_len=max_code_len, max_chain=max_chain
+    )
+    return build_member(payload, len(data), crc32(data))
+
+
+def deflate_raw_continuous(
+    data: bytes, *, block_data: int = 64 * 1024, max_code_len: int = 15, max_chain: int = 64
+) -> bytes:
+    """Raw continuous-history DEFLATE stream (no container)."""
     lib = _load()
+    if not data:
+        # single final stored empty block
+        return bytes([0x01, 0x00, 0x00, 0xFF, 0xFF])
     out = bytearray()
-    partial = 0  # seed byte value
-    bitpos = 0  # bits used in the trailing partial byte
+    partial = 0
+    bitpos = 0
     pos = 0
     n = len(data)
     hist = 32 * 1024
@@ -250,7 +263,50 @@ def compress_continuous_native(
         pos += blk
     if bitpos:
         out.append(partial)
-    return build_member(bytes(out), n, crc32(data))
+    return bytes(out)
+
+
+def zlib_compress_native(data: bytes, *, max_chain: int = 64) -> bytes:
+    """RFC 1950 stream via the native core (DEFAULT level byte)."""
+    from ..format.zlib_meta import ZlibMetadata
+
+    return (
+        ZlibMetadata().to_bytes()
+        + deflate_raw_continuous(data, max_chain=max_chain)
+        + adler32(data).to_bytes(4, "big")
+    )
+
+
+def zlib_decompress_native(data: bytes) -> bytes:
+    """RFC 1950 decode via the native core (no preset dictionary)."""
+    import io as _io
+
+    from ..format.errors import DataFormatError, Reason
+    from ..format.zlib_meta import ZlibMetadata
+
+    stream = _io.BytesIO(data)
+    meta = ZlibMetadata.read(stream)
+    if meta.preset_dictionary is not None:
+        from .. import zlib_decompress
+
+        return zlib_decompress(data)  # host path handles FDICT
+    off = stream.tell()
+    payload = data[off:]
+    cap = max(8 * len(payload) + 1024, 1 << 20)
+    while True:
+        try:
+            out, consumed = inflate_raw(payload, cap)
+            break
+        except ValueError:
+            cap *= 4
+    trailer = payload[consumed : consumed + 4]
+    if len(trailer) < 4:
+        raise DataFormatError(Reason.UNEXPECTED_END_OF_STREAM, "Unexpected end of stream")
+    if int.from_bytes(trailer, "big") != adler32(out):
+        raise DataFormatError(
+            Reason.DECOMPRESSED_CHECKSUM_MISMATCH, "Decompression Adler-32 mismatch"
+        )
+    return out
 
 
 def gzip_decompress_native(data: bytes) -> bytes:

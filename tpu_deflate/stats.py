@@ -16,8 +16,6 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .format.gzip_meta import GzipMetadata
-from .kernels.bitio import BitReader
-from .kernels.huffman import DecodeTable
 
 
 @dataclass

@@ -110,9 +110,11 @@ def test_graft_entry_single_and_multi():
     fn, args = mod.entry()
     out = fn(*args)
     jax.block_until_ready(out)
-    tokens, tcount, err = out
-    assert (np.asarray(err) == 0).all()
-    assert (np.asarray(tcount) == 0).all()  # EOB-only payloads
+    delta, token, sizes = out
+    from tpu_deflate.codec.decode_jax_v2 import SENT_EOB
+
+    # bit 3 of each lane starts the EOB code of the fixed block
+    assert (np.asarray(delta)[:, 3] == SENT_EOB).all()
     mod.dryrun_multichip(8)
 
 

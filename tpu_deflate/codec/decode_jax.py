@@ -228,17 +228,12 @@ def _parse_dynamic_headers(u32v, bitpos, payload_bits):
         clen_lengths[active, CLEN_ORDER[i]] = val[active]
         bitpos = bitpos + np.where(active, 3, 0)
 
-    # Validate clen codes + build tiny LUTs (7-bit) per lane.
-    clen_lut_sym = np.zeros((L, 128), dtype=np.int64)
-    clen_lut_len = np.zeros((L, 128), dtype=np.int64)
+    # Validate clen codes per lane, then build all 7-bit LUTs batched.
     for l in range(L):
         validate_code_lengths(clen_lengths[l])
-        codes = canonical_codes(clen_lengths[l], validate=False)
-        for sym in np.nonzero(clen_lengths[l] > 0)[0]:
-            ln = int(clen_lengths[l][sym])
-            idx = int(codes[sym]) + (np.arange(1 << (7 - ln)) << ln)
-            clen_lut_sym[l, idx] = sym
-            clen_lut_len[l, idx] = ln
+    clen_lut = build_luts_batch(clen_lengths, lut_bits=7)
+    clen_lut_sym = (clen_lut & 511).astype(np.int64)
+    clen_lut_len = (clen_lut >> 9).astype(np.int64)
 
     # Lock-step decode of the code-length symbol stream. Each step decodes
     # one clen symbol per active lane and records (value, count); the run

@@ -874,11 +874,11 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
     /* stored fallback: header(3) + pad-to-byte + (5-byte hdr + data)/block */
     size_t stored_bits;
     {
-        size_t blocks = n / 65535 + 1;
+        size_t blocks = n ? (n + 65534) / 65535 : 1;
         size_t pad = (8 - ((start_bit + 3) & 7)) & 7;
-        stored_bits = (size_t)start_bit + 3 + pad + blocks * 40 - 40 +
-                      (n + blocks * 4) * 8 + 32;
-        /* (first block header counted in 3+pad+32; later blocks 40 bits) */
+        /* first block: 3-bit header + pad + 32-bit len/nlen; each later
+           block starts byte-aligned: 3 + 5 pad + 32 = 40 bits */
+        stored_bits = (size_t)start_bit + 3 + pad + 32 + n * 8 + (blocks - 1) * 40;
     }
     if (o.overflow || dyn_bits >= stored_bits) {
         if ((stored_bits + 7) / 8 > out_cap) return 0;

@@ -110,6 +110,52 @@ def test_native_corruption_detected():
         native.gzip_decompress_native(bytes(gz))
 
 
+def test_native_foreign_corruption_raises_not_retries():
+    """Regression (ADVICE r1 high): corrupt/truncated FOREIGN input must
+    raise DataFormatError promptly — the capacity grow-and-retry loop must
+    only trigger on genuine output-buffer overflow, never on decode errors
+    (it used to retry forever with 4x buffer growth)."""
+    data = _structured(9, 80_000)
+    gz = bytearray(pygzip.compress(data))
+    gz[40] ^= 0xFF  # corrupt the deflate payload of a foreign stream
+    with pytest.raises(DataFormatError):
+        native.gzip_decompress_native(bytes(gz))
+    # truncated foreign stream: payload cut mid-block
+    trunc = bytes(pygzip.compress(data)[: len(gz) // 2])
+    with pytest.raises(DataFormatError):
+        native.gzip_decompress_native(trunc)
+    # zlib container too
+    z = bytearray(zlib.compress(data))
+    z[20] ^= 0xFF
+    with pytest.raises(DataFormatError):
+        native.zlib_decompress_native(bytes(z))
+
+
+def test_native_foreign_error_taxonomy_preserved():
+    """Regression (ADVICE r1 medium): a reserved-block-type error in a
+    member must surface with its own Reason, not be remapped to
+    DECOMPRESSED_SIZE_MISMATCH."""
+    data = _structured(10, 50_000)
+    gz = bytearray(native.compress_members_native(data))
+    # Find the first member's payload and force btype=11 (reserved).
+    from tpu_deflate.codec.decode_jax import split_members
+    import numpy as np
+
+    members = split_members(np.frombuffer(bytes(gz), dtype=np.uint8))
+    assert members
+    off = members[0].payload_start
+    gz[off] |= 0x06  # btype bits -> 11
+    with pytest.raises(DataFormatError) as ei:
+        native.gzip_decompress_native(bytes(gz))
+    assert ei.value.reason == Reason.RESERVED_BLOCK_TYPE
+
+
+def test_native_empty_input_matches_other_engines():
+    with pytest.raises(DataFormatError) as ei:
+        native.gzip_decompress_native(b"")
+    assert ei.value.reason == Reason.UNEXPECTED_END_OF_STREAM
+
+
 def test_engine_cross_matrix():
     data = _structured(8, 120_000)
     for enc_engine in ["native", "host"]:

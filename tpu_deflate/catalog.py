@@ -61,14 +61,17 @@ class MemberCatalog:
     def _decode_member(self, e: MemberEntry) -> bytes:
         payload = self._data[e.index.payload_start : e.index.end - 8]
         from . import native
+        from .format.errors import OutputCapacityError, Reason
 
         if native.available():
-            out, _ = native.inflate_raw(payload, e.index.isize + 1)
+            try:
+                out, _ = native.inflate_raw(payload, e.index.isize + 1)
+            except OutputCapacityError:
+                raise DataFormatError(Reason.DECOMPRESSED_SIZE_MISMATCH, "size mismatch")
         else:
             from .codec.inflate_host import inflate
 
             out = inflate(payload)
-        from .format.errors import Reason
 
         if len(out) != e.index.isize:
             raise DataFormatError(Reason.DECOMPRESSED_SIZE_MISMATCH, "size mismatch")
@@ -109,9 +112,16 @@ class MemberCatalog:
                 return e.index.start, e.out_start
         return len(self._data), self.total_uncompressed
 
-    def decode_all(self, *, on_error: str = "raise"):
+    def decode_all(self, *, on_error: str | None = None, config=None):
         """Decode every member; with on_error='skip', bad members yield
-        b'' placeholders and are reported in the second return value."""
+        b'' placeholders and are reported in the second return value.
+
+        ``config`` (a DecoderConfig/FrameworkConfig) supplies the default
+        failure-isolation policy (SURVEY.md §5.3/§5.6)."""
+        if on_error is None:
+            from .engine import _decoder_cfg
+
+            on_error = _decoder_cfg(config).on_error
         outs: list[bytes] = []
         bad: list[int] = []
         for i, e in enumerate(self.entries):

@@ -28,7 +28,8 @@ def main_gzip(args: list[str]) -> int:
     import tpu_deflate as td
     from tpu_deflate.format.gzip_meta import GzipMetadata, OperatingSystem
 
-    effort, engine, args = _parse_opts(args)
+    cfg, args = _parse_opts(args)
+    effort, engine = cfg.encoder.effort, cfg.encoder.engine
     if len(args) != 2:
         return _usage("gzip")
     in_path, out_path = args
@@ -51,7 +52,7 @@ def main_gzip(args: list[str]) -> int:
     if engine in ("auto", "native", "tpu"):
         from tpu_deflate.engine import compress
 
-        out = compress(data, engine=engine, effort=effort, metadata=meta)
+        out = compress(data, metadata=meta, config=cfg)
     else:
         out = td.gzip_compress(data, effort=effort, metadata=meta)
     elapsed = max(time.monotonic() - start, 1e-9)
@@ -68,7 +69,8 @@ def main_gzip(args: list[str]) -> int:
 def main_gunzip(args: list[str]) -> int:
     from tpu_deflate.streams.gzip_stream import GzipReader
 
-    _, engine, args = _parse_opts(args)
+    cfg, args = _parse_opts(args)
+    engine = cfg.decoder.engine
     if len(args) != 2:
         return _usage("gunzip")
     in_path, out_path = args
@@ -84,7 +86,7 @@ def main_gunzip(args: list[str]) -> int:
         from tpu_deflate.engine import decompress
 
         raw = open(in_path, "rb").read()
-        out = decompress(raw, engine=engine)
+        out = decompress(raw, config=cfg)
         meta = GzipReader(open(in_path, "rb")).metadata
     else:
         with open(in_path, "rb") as f:
@@ -126,22 +128,37 @@ def main_gunzip(args: list[str]) -> int:
 
 
 def _parse_opts(args: list[str]):
-    effort = 2
-    engine = "auto"
+    """Flags -> FrameworkConfig (the §5.6 config system is the single
+    source of knob defaults; flags override its fields)."""
+    from dataclasses import replace
+
+    from tpu_deflate.config import DEFAULT
+
+    enc = DEFAULT.encoder
+    dec = DEFAULT.decoder
     rest = []
     it = iter(args)
     for a in it:
         if a == "--effort":
-            effort = int(next(it))
+            enc = replace(enc, effort=int(next(it)))
         elif a.startswith("--effort="):
-            effort = int(a.split("=", 1)[1])
+            enc = replace(enc, effort=int(a.split("=", 1)[1]))
         elif a == "--engine":
-            engine = next(it)
+            e = next(it)
+            enc, dec = replace(enc, engine=e), replace(dec, engine=e)
         elif a.startswith("--engine="):
-            engine = a.split("=", 1)[1]
+            e = a.split("=", 1)[1]
+            enc, dec = replace(enc, engine=e), replace(dec, engine=e)
+        elif a == "--member-kib":
+            enc = replace(enc, member_data=int(next(it)) * 1024)
+        elif a.startswith("--member-kib="):
+            enc = replace(enc, member_data=int(a.split("=", 1)[1]) * 1024)
+        elif a == "--no-verify":
+            dec = replace(dec, verify_crc=False)
         else:
             rest.append(a)
-    return effort, engine, rest
+    cfg = replace(DEFAULT, encoder=enc, decoder=dec)
+    return cfg, rest
 
 
 def main() -> int:

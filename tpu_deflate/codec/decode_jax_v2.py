@@ -97,8 +97,7 @@ def _banded_pick(arr: jnp.ndarray, delta: jnp.ndarray, max_d: int, fill) -> jnp.
 
 @jax.jit
 def stage_a(
-    payload: jnp.ndarray,  # (L, P) uint8, body starts at bit start_rem
-    start_rem: jnp.ndarray,  # (L,) int32 in [0,8)
+    payload: jnp.ndarray,  # (L, P) uint8, body starts inside byte 0
     payload_bits: jnp.ndarray,  # (L,) int32
     litlen_tbl: jnp.ndarray,  # (L, 64, 64) f32: packed len<<9|sym
     dist_tbl: jnp.ndarray,  # (L, 64, 64) f32
@@ -375,10 +374,13 @@ def _decode_batch_v2(buf, batch, have_native, verify_crc):
         ntok = int(counts[i])
         if have_native:
             from .. import native as _native
+            from ..format.errors import OutputCapacityError
 
             try:
                 out = _native.resolve_tokens(tokens[i, :ntok], m.isize + 1)
-            except ValueError:
+            except OutputCapacityError:
+                # overflowed the trailer-declared size; DataFormatError
+                # (e.g. COPY_FROM_BEFORE_DICTIONARY_START) propagates
                 raise _df(Reason.DECOMPRESSED_SIZE_MISMATCH)
         else:
             out = _resolve_tokens_numpy(tokens[i], ntok)
@@ -410,7 +412,6 @@ def decode_tokens_v2(payload_np, start_rem, payload_bits, litlen_lut, dist_lut, 
     dt = jnp.asarray(dist_lut.reshape(L, 64, 64).astype(np.float32))
     delta, token, sizes = stage_a(
         jnp.asarray(payload_np),
-        jnp.asarray(start_rem.astype(np.int32)),
         jnp.asarray(payload_bits.astype(np.int32)),
         lt,
         dt,

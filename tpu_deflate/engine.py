@@ -18,9 +18,43 @@ from __future__ import annotations
 import io
 
 
-def compress(data: bytes, *, engine: str = "auto", effort: int = 2, metadata=None) -> bytes:
-    """Compress to (profile) gzip with the selected engine."""
-    engine = _resolve(engine)
+def _encoder_cfg(config):
+    from .config import EncoderConfig, FrameworkConfig
+
+    if config is None:
+        return EncoderConfig()
+    if isinstance(config, FrameworkConfig):
+        return config.encoder
+    return config
+
+
+def _decoder_cfg(config):
+    from .config import DecoderConfig, FrameworkConfig
+
+    if config is None:
+        return DecoderConfig()
+    if isinstance(config, FrameworkConfig):
+        return config.decoder
+    return config
+
+
+def compress(
+    data: bytes,
+    *,
+    engine: str | None = None,
+    effort: int | None = None,
+    metadata=None,
+    config=None,
+) -> bytes:
+    """Compress to (profile) gzip with the selected engine.
+
+    ``config`` (an :class:`~tpu_deflate.config.EncoderConfig` or
+    :class:`~tpu_deflate.config.FrameworkConfig`) supplies the defaults
+    for every knob; explicit keyword arguments win over it.
+    """
+    cfg = _encoder_cfg(config)
+    engine = _resolve(engine if engine is not None else cfg.engine)
+    effort = effort if effort is not None else cfg.effort
     if engine == "native":
         from . import native
 
@@ -33,10 +67,17 @@ def compress(data: bytes, *, engine: str = "auto", effort: int = 2, metadata=Non
             # max-ratio mode: one member, continuous 32 KiB history across
             # blocks (~zlib-9 class); trades away member-parallel decode.
             chain = 128 if effort == 4 else 512
-            out = native.compress_continuous_native(data, max_chain=chain)
+            out = native.compress_continuous_native(
+                data, block_data=cfg.lookahead, max_chain=chain
+            )
         else:
             chain = {1: 4, 2: 32, 3: 64}[effort]
-            out = native.compress_members_native(data, max_chain=chain)
+            out = native.compress_members_native(
+                data,
+                member_data=cfg.member_data,
+                max_code_len=cfg.max_code_len,
+                max_chain=chain,
+            )
         return _prepend_metadata(out, metadata)
     if engine == "tpu":
         from .codec.encode_jax import compress_members_tpu
@@ -47,8 +88,9 @@ def compress(data: bytes, *, engine: str = "auto", effort: int = 2, metadata=Non
     return td.gzip_compress(data, effort=effort, metadata=metadata)
 
 
-def decompress(data: bytes, *, engine: str = "auto") -> bytes:
-    engine = _resolve(engine)
+def decompress(data: bytes, *, engine: str | None = None, config=None) -> bytes:
+    cfg = _decoder_cfg(config)
+    engine = _resolve(engine if engine is not None else cfg.engine)
     if engine == "native":
         from . import native
 
@@ -56,7 +98,7 @@ def decompress(data: bytes, *, engine: str = "auto") -> bytes:
     if engine == "tpu":
         from .codec.decode_jax_v2 import gzip_decompress_tpu_v2
 
-        return gzip_decompress_tpu_v2(data)
+        return gzip_decompress_tpu_v2(data, verify_crc=cfg.verify_crc)
     import tpu_deflate as td
 
     return td.gzip_decompress(data)

@@ -72,6 +72,16 @@ def raise_unexpected_end():
     raise DataFormatError.unexpected_end()
 
 
+class OutputCapacityError(RuntimeError):
+    """A native decode needs a larger output buffer (internal signal).
+
+    Deliberately NOT a subclass of ``ValueError``/``DataFormatError``:
+    grow-and-retry loops must catch exactly this and let real format
+    errors propagate (a corrupt stream must never be retried with a
+    bigger buffer).
+    """
+
+
 # Device-side encoding helpers -------------------------------------------------
 
 OK_CODE = 0  #: kernel error-lane value meaning "no error"

@@ -12,7 +12,9 @@ bits in one vectorized pass. The decoder-side analog of the dual 64-bit bit
 buffer (``decomp/Open.java:49-53``) is ``BitReader``, used by the host
 inflate state machine.
 
-The JAX twins of these (same layout contracts) live in ``bitpack_jax.py``.
+The device-side twins of these layout contracts are the emit kernel in
+``codec/encode_jax.py`` (pack) and the per-bit-position window expansion
+in ``codec/decode_jax*.py`` (unpack).
 """
 
 from __future__ import annotations

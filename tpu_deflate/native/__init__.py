@@ -131,7 +131,7 @@ def inflate_raw(payload: bytes, out_cap: int) -> tuple[bytes, int]:
 
     Raises DataFormatError with the taxonomy Reason on malformed input.
     """
-    from ..format.errors import check_device_error
+    from ..format.errors import OutputCapacityError, check_device_error
 
     lib = _load()
     out = ctypes.create_string_buffer(out_cap)
@@ -141,14 +141,14 @@ def inflate_raw(payload: bytes, out_cap: int) -> tuple[bytes, int]:
         payload, len(payload), out, out_cap, ctypes.byref(out_len), ctypes.byref(consumed)
     )
     if rc == 100:
-        raise ValueError("output capacity too small")
+        raise OutputCapacityError("output capacity too small")
     check_device_error(rc)
     return out.raw[: out_len.value], consumed.value
 
 
 def resolve_tokens(tokens: np.ndarray, out_cap: int) -> bytes:
     """Expand a device-decoded token array (int32) to bytes."""
-    from ..format.errors import check_device_error
+    from ..format.errors import OutputCapacityError, check_device_error
 
     lib = _load()
     tokens = np.ascontiguousarray(tokens, dtype=np.int32)
@@ -159,7 +159,7 @@ def resolve_tokens(tokens: np.ndarray, out_cap: int) -> bytes:
         ctypes.byref(out_len),
     )
     if rc == 100:
-        raise ValueError("output capacity too small")
+        raise OutputCapacityError("output capacity too small")
     check_device_error(rc)
     return out.raw[: out_len.value]
 
@@ -281,7 +281,7 @@ def zlib_decompress_native(data: bytes) -> bytes:
     """RFC 1950 decode via the native core (no preset dictionary)."""
     import io as _io
 
-    from ..format.errors import DataFormatError, Reason
+    from ..format.errors import DataFormatError, OutputCapacityError, Reason
     from ..format.zlib_meta import ZlibMetadata
 
     stream = _io.BytesIO(data)
@@ -297,7 +297,7 @@ def zlib_decompress_native(data: bytes) -> bytes:
         try:
             out, consumed = inflate_raw(payload, cap)
             break
-        except ValueError:
+        except OutputCapacityError:
             cap *= 4
     trailer = payload[consumed : consumed + 4]
     if len(trailer) < 4:
@@ -316,20 +316,24 @@ def gzip_decompress_native(data: bytes) -> bytes:
     decodes the stream as sequential members (still native-fast).
     """
     from ..codec.decode_jax import split_members
-    from ..format.errors import DataFormatError, Reason
+    from ..format.errors import DataFormatError, OutputCapacityError, Reason
     from ..format.gzip_meta import GzipMetadata
     import io
 
     buf = np.frombuffer(data, dtype=np.uint8)
     members = split_members(buf)
+    if members is not None and not members:
+        # Empty input: same behavior as the host/tpu engines.
+        raise DataFormatError.unexpected_end()
     if members is not None:
 
         def one(m) -> bytes:
             payload = data[m.payload_start : m.end - 8]
             try:
                 out, _ = inflate_raw(payload, m.isize + 1)
-            except ValueError:
-                # decoded past the trailer-declared size
+            except OutputCapacityError:
+                # decoded past the trailer-declared size; real format
+                # errors (DataFormatError) propagate unchanged
                 raise DataFormatError(
                     Reason.DECOMPRESSED_SIZE_MISMATCH, "Decompressed size mismatch"
                 )
@@ -368,7 +372,7 @@ def gzip_decompress_native(data: bytes) -> bytes:
             try:
                 out, consumed = inflate_raw(payload, cap)
                 break
-            except ValueError:  # output capacity too small: grow and retry
+            except OutputCapacityError:  # grow and retry; format errors propagate
                 cap *= 4
         trailer = payload[consumed : consumed + 8]
         if len(trailer) < 8:

@@ -1,0 +1,48 @@
+"""Reference conformance vectors through the v2 *device* decoder.
+
+The 42 transcribed vectors (tests/vectors.py, from the reference's
+InflaterInputStreamTest) previously ran only against the host/C decoders;
+this runs them through the gather-free device pipeline
+(decode_jax_v2.inflate_raw_v2) — good vectors must produce identical
+bytes under all byte-padding modes, bad vectors must raise the exact
+reference Reason (taxonomy parity, ``DataFormatException.java:61-83``,
+precedence ``decomp/Open.java:516-593``).
+"""
+
+import pytest
+
+from tpu_deflate.codec.decode_jax_v2 import inflate_raw_v2
+from tpu_deflate.format.errors import DataFormatError
+
+from vectors import BAD_VECTORS, GOOD_VECTORS, bits_to_bytes
+
+
+@pytest.mark.parametrize("pad", ["0", "1"])
+@pytest.mark.parametrize("name,bits,hexout", GOOD_VECTORS, ids=[v[0] for v in GOOD_VECTORS])
+def test_good_vector_device(name, bits, hexout, pad):
+    data = bits_to_bytes(bits, pad)
+    assert inflate_raw_v2(data) == bytes.fromhex(hexout)
+
+
+@pytest.mark.parametrize("name,bits,reason", BAD_VECTORS, ids=[v[0] for v in BAD_VECTORS])
+def test_bad_vector_device(name, bits, reason):
+    data = bits_to_bytes(bits, "0")
+    with pytest.raises(DataFormatError) as ei:
+        inflate_raw_v2(data)
+    assert ei.value.reason == reason
+
+
+def test_batched_error_isolation():
+    """One bad lane must not poison its batch: decode all bad vectors and
+    all good vectors as one lane batch; each lane lands on its own verdict."""
+    from tpu_deflate.codec.decode_jax_v2 import _resolve_lane, decode_deflate_streams_v2
+
+    payloads = [bits_to_bytes(b, "0") for _, b, _ in GOOD_VECTORS]
+    payloads += [bits_to_bytes(b, "0") for _, b, _ in BAD_VECTORS]
+    states = decode_deflate_streams_v2(payloads)
+    for (name, _, hexout), st in zip(GOOD_VECTORS, states):
+        assert _resolve_lane(st, None) == bytes.fromhex(hexout), name
+    for (name, _, reason), st in zip(BAD_VECTORS, states[len(GOOD_VECTORS) :]):
+        with pytest.raises(DataFormatError) as ei:
+            _resolve_lane(st, None)
+        assert ei.value.reason == reason, name

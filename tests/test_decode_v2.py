@@ -84,3 +84,24 @@ def test_compaction_property():
         assert c == want_t.size
         np.testing.assert_array_equal(tok[l, :c], want_t)
         np.testing.assert_array_equal(sz[l, :c], want_s)
+
+
+def test_v2_decodes_continuous_effort5_no_fallback():
+    """effort>=4 output is one member with many blocks and continuous 32 KiB
+    history — previously undecodable on the device path (host fallback).
+    The block-chained v2 driver must decode it on device, bit-exact."""
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    from tpu_deflate.engine import compress
+
+    data = _structured(7, 300_000)
+    gz = compress(data, effort=5)
+    assert gzip_decompress_tpu_v2(gz) == data
+
+
+def test_v2_decodes_foreign_multiblock_stream():
+    """A zlib-produced .gz (foreign stream, multi-block dynamic) decodes
+    through the device block-chain driver — no host state machine."""
+    data = _structured(8, 200_000)
+    gz = pygzip.compress(data, compresslevel=9)
+    assert gzip_decompress_tpu_v2(gz) == data

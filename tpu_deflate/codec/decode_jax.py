@@ -175,15 +175,22 @@ class HeaderParse:
     bfinal: np.ndarray  # (L,) bool
 
 
-def parse_headers_batch(payload: np.ndarray, payload_bits: np.ndarray) -> HeaderParse:
+def parse_headers_batch(
+    payload: np.ndarray, payload_bits: np.ndarray, start_bits: np.ndarray | None = None
+) -> HeaderParse:
     """Parse one fixed/dynamic block header per lane, fully vectorized.
 
-    Raises DataFormatError (first failing lane wins, in lane order) with
-    the reference's taxonomy.
+    ``start_bits`` (per-lane, in [0, 8)) locates the 3-bit block header
+    inside byte 0 — the v2 block-chain driver byte-shifts each lane so a
+    mid-stream block header lands there. Raises DataFormatError (first
+    failing lane wins, in lane order) with the reference's taxonomy.
     """
     L = payload.shape[0]
     u32v = _u32_view(payload)
-    bitpos = np.zeros(L, dtype=np.int64)
+    if start_bits is None:
+        bitpos = np.zeros(L, dtype=np.int64)
+    else:
+        bitpos = np.asarray(start_bits, dtype=np.int64).copy()
     errs = np.zeros(L, dtype=np.int32)
 
     w = _peek(u32v, bitpos)
@@ -267,14 +274,17 @@ def _parse_dynamic_headers(u32v, bitpos, payload_bits):
         run = np.where(is_17, 3 + (w2 & 7), run)
         run = np.where(is_18, 11 + (w2 & 127), run)
         consumed = consumed + np.where(is_16, 2, 0) + np.where(is_17, 3, 0) + np.where(is_18, 7, 0)
-        over = active & (bitpos + consumed > payload_bits)
-        if over.any():
-            raise DataFormatError.unexpected_end()
+        # Reference order: symbol 16 checks for a previous length *before*
+        # reading its 2 extra bits (decomp/Open.java:360), so NO_PREVIOUS
+        # precedes the extra-bits EOF check.
         no_prev = active & is_16 & (prev_val < 0)
         if no_prev.any():
             raise DataFormatError(
                 Reason.NO_PREVIOUS_CODE_LENGTH_TO_COPY, "No code length value to copy"
             )
+        over = active & (bitpos + consumed > payload_bits)
+        if over.any():
+            raise DataFormatError.unexpected_end()
         val = np.where(is_lit, sym, np.where(is_16, prev_val, 0))
         cnt = np.where(is_lit, 1, run)
         overflow = active & (produced + cnt > total)

@@ -6,77 +6,146 @@ sort on the axon backend run orders of magnitude below bandwidth. v2
 eliminates them entirely:
 
 - **Stage A** (one fused jit): 32-bit windows at every bit position
-  (elementwise expansion); litlen/dist LUT lookups for all positions as
-  *MXU one-hot bilinear forms* — ``lut[idx] == oh_hi(idx) @ T @
-  oh_lo(idx)'`` with the 4096-entry table reshaped (64, 64), so a lookup
-  is a (N,64)x(64,64) matmul plus an elementwise masked reduce; the
-  follow-position window (``w2``) and successor pointers use *banded
-  selects* (symbol groups advance 1..42 bits, so a 42-way shifted-select
-  replaces the gather).
+  (elementwise expansion); *canonical-arithmetic* Huffman decode — for
+  each code length l in 1..15, the bit-reversed l-bit prefix is compared
+  against the canonical ``first_code[l]``/``count[l]`` range (pure
+  elementwise int ops; ≙ the reference's ``codeLengthsToCodeTree`` walk,
+  ``decomp/Open.java:705-756``, restated as closed-form range checks).
+  The only table lookup left is sorted-symbol-by-canonical-index: a
+  288-entry per-lane table read as an MXU one-hot matmul for litlen and
+  a 32-way select chain for distances. This supports the full 15-bit
+  code-length range of RFC 1951 with no 2^15 LUT.
 - **Stage B** (``lax.scan``, elementwise body): per-tile transfer
-  functions. Payload is cut into 512-bit tiles; chains enter a tile only
-  in its first 42 bits. 42 cursors per tile advance in lock step over
-  the tile's bit positions (a cursor at position s jumps by delta[s]);
-  after W+42 steps every cursor has exited (offset into the next tile)
-  or hit the EOB/error sentinels.
+  functions. Payload is cut into 64-bit tiles; chains enter a tile only
+  in its first 48 bits (the max bits of one symbol group). 48 cursors
+  per tile advance in lock step over the tile's bit positions; after the
+  scan every cursor has exited (offset into the next tile) or hit the
+  EOB/error sentinels.
 - **Stage C** (associative scan over tiles): transfer functions compose
-  with a 44-way select — the true entry offset of every tile, and the
-  stream's terminal state (clean EOB / error / truncation).
+  with a 48-way select — the true entry offset of every tile, and the
+  stream's terminal state (clean EOB / error / ran-off-end).
 - **Stage D** (``lax.scan``): one cursor per tile replays the true chain,
   emitting the reached-position bitmap; token info (computed in stage A
   for every position) is masked to reached positions and *compacted
-  without scatter* by log-shift displacement moves (displacement = rank
-  deficit is non-decreasing, so power-of-two shifts never collide).
-- **Resolve**: compacted tokens (tiny) go to the native C runtime's
+  without scatter* by log-shift displacement moves.
+- **Stage E**: reductions that surface the terminal facts — EOB exit bit
+  (for multi-block chaining), the first-reached error's Reason code
+  (stream-order precedence is baked into stage A's per-position code),
+  and the exact output size.
+- **Resolve**: compacted tokens go to the native C runtime's
   ``td_resolve_tokens`` (LZ77 expansion is memcpy-bound host work), or a
-  NumPy fallback.
+  NumPy fallback. Window continuity across blocks is automatic because a
+  member's blocks resolve as one token stream.
 
-Differentially tested against the host state machine; emits the same
-(tokens, counts, errors) contract as v1.
+Block chaining: the host driver walks block headers (stored blocks are a
+host memcpy emitted as literal tokens), dispatching each wave of Huffman
+block bodies across lanes as one batched device call — so multi-block /
+continuous-history members (the encoder's effort>=4 output) decode on
+device with no host fallback (≙ the reference's block loop,
+``decomp/Open.java:83-110``).
+
+Error taxonomy parity: stage A orders each position's failure exactly as
+the reference's serial reads would hit them (truncated-litlen-code,
+reserved length symbol, truncated run bits, empty distance code,
+truncated distance code, reserved distance symbol, truncated distance
+bits — trigger sites ``decomp/Open.java:516-593``); the replayed chain
+reaches at most one error position, whose code is the raised Reason.
+Differentially tested against the host state machine and the transcribed
+reference conformance vectors.
 """
 
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..kernels import jax_setup  # noqa: F401
-from ..format.errors import Reason, reason_to_code
-from .decode_jax import DEV_LUT_BITS, _run_base_extra, _dist_base_extra
+from ..format.errors import DataFormatError, Reason, reason_to_code
+from .decode_jax import _dist_base_extra, _run_base_extra
 
-W_TILE = 512  # bits per tile
-ENTRY_WIN = 42  # max bits one symbol group consumes -> tile entry window
+W_TILE = 64  # bits per tile (small tiles minimize scan dispatch overhead)
+ENTRY_WIN = 48  # max bits one symbol group consumes (15+5+15+13)
+MAX_CODE_LEN = 15  # full RFC 1951 range
 SENT_EOB = 1 << 20
 SENT_ERR = 1 << 21
+SCAN_UNROLL = 8
 
 V2_LANE_BATCH = 256  # per-batch overhead (host parse, uploads) amortizes
 V2_L_BUCKETS = (4, 16, 64, V2_LANE_BATCH)
+_P_BUCKETS = (8320, 33280, 66560, 266240)
+PAYLOAD_PAD = _P_BUCKETS[-1]
 
 _ERR_END = reason_to_code(Reason.UNEXPECTED_END_OF_STREAM)
+_ERR_RESERVED_LEN = reason_to_code(Reason.RESERVED_LENGTH_SYMBOL)
+_ERR_RESERVED_DIST = reason_to_code(Reason.RESERVED_DISTANCE_SYMBOL)
+_ERR_EMPTY_DIST = reason_to_code(Reason.LENGTH_ENCOUNTERED_WITH_EMPTY_DISTANCE_CODE)
 
 TOKEN_MATCH_BIT = 1 << 26
 
+# Minimal valid payload for padding lanes: a final fixed-Huffman block that
+# is immediately end-of-block (bits: bfinal=1, btype=01, EOB 0000000).
+_PAD_PAYLOAD = bytes([0x03, 0x00])
 
-def _bilinear_lookup(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """tbl (L, 64, 64) f32 (flat 4096-entry per-lane table), idx (L, N)
-    int32 in [0, 4096) -> (L, N) int32 values (exact for values < 2^24)."""
-    hi = idx >> 6
-    lo = idx & 63
-    oh_hi = (jax.lax.broadcasted_iota(jnp.int32, idx.shape + (64,), idx.ndim) == hi[..., None]).astype(jnp.float32)
-    rows = jax.lax.dot_general(
-        oh_hi,
-        tbl,
-        (((2,), (1,)), ((0,), (0,))),
-        # TPU default f32 matmul runs as a truncated-bf16 pass (measured
-        # maxerr 128 on 16-bit table values); HIGHEST is exact.
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (L, N, 64)
-    oh_lo = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (64,), idx.ndim) == lo[..., None]
-    return jnp.sum(jnp.where(oh_lo, rows, 0.0), axis=-1).astype(jnp.int32)
+
+def _bucket(value: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+# ---------------------------------------------------------------------------
+# Host: canonical decode tables (first_code / base_index / sorted symbols)
+# ---------------------------------------------------------------------------
+
+
+def canonical_tables(lengths: np.ndarray, max_len: int = MAX_CODE_LEN) -> dict:
+    """(L, N) code lengths -> canonical range-decode tables per lane.
+
+    first[l] = canonical first code of length l; base[l] = canonical index
+    of the first length-l symbol; count[l] = #symbols of length l;
+    syms[i] = symbol with canonical index i (sorted by (length, symbol),
+    zero-length symbols pushed past the end). ≙ the canonical assignment
+    of ``comp/Lz77Huffman.java:372-391`` viewed from the decode side.
+    """
+    L, N = lengths.shape
+    counts = np.zeros((L, max_len + 1), np.int64)
+    for l in range(1, max_len + 1):
+        counts[:, l] = (lengths == l).sum(axis=1)
+    first = np.zeros((L, max_len + 1), np.int64)
+    base = np.zeros((L, max_len + 1), np.int64)
+    code = np.zeros(L, np.int64)
+    cum = np.zeros(L, np.int64)
+    for l in range(1, max_len + 1):
+        code = (code + counts[:, l - 1]) << 1
+        first[:, l] = code
+        base[:, l] = cum
+        cum = cum + counts[:, l]
+    key = np.where(lengths > 0, lengths, max_len + 1) * (N + 1) + np.arange(N)[None, :]
+    order = np.argsort(key, axis=1, kind="stable")
+    return {
+        "first": first.astype(np.int32),
+        "base": base.astype(np.int32),
+        "count": counts.astype(np.int32),
+        "syms": order.astype(np.int32),
+    }
+
+
+def _litlen_sym_table(syms: np.ndarray) -> np.ndarray:
+    """(L, 288) sorted symbols -> (L, 64, 5) f32 for the one-hot matmul."""
+    L = syms.shape[0]
+    pad = np.zeros((L, 320), np.int32)
+    pad[:, : syms.shape[1]] = syms
+    return pad.reshape(L, 5, 64).transpose(0, 2, 1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Device stages
+# ---------------------------------------------------------------------------
 
 
 def _shift_left(arr: jnp.ndarray, d: int, fill) -> jnp.ndarray:
@@ -86,61 +155,159 @@ def _shift_left(arr: jnp.ndarray, d: int, fill) -> jnp.ndarray:
     return jnp.concatenate([arr[:, d:], pad], axis=1)
 
 
-def _banded_pick(arr: jnp.ndarray, delta: jnp.ndarray, max_d: int, fill) -> jnp.ndarray:
-    """out[:, p] = arr[:, p + delta[:, p]] for delta in [1, max_d]
-    (elementwise banded gather via shifted selects)."""
-    out = jnp.full_like(arr, fill)
-    for d in range(1, max_d + 1):
-        out = jnp.where(delta == d, _shift_left(arr, d, fill), out)
+def _canon_decode(w, first, base, count):
+    """Canonical range decode at every position.
+
+    w (L, B) uint32 bit windows; tables (L, 16) int32. Returns
+    (code_len (L,B) i32, canonical_index (L,B) i32, found (L,B) bool) —
+    pure elementwise work, no gathers.
+    """
+    shape = w.shape
+    rev = jnp.zeros(shape, jnp.int32)
+    ln = jnp.zeros(shape, jnp.int32)
+    idx = jnp.zeros(shape, jnp.int32)
+    found = jnp.zeros(shape, bool)
+    for l in range(1, MAX_CODE_LEN + 1):
+        rev = (rev << 1) | ((w >> (l - 1)) & 1).astype(jnp.int32)
+        off = rev - first[:, l][:, None]
+        hit = (~found) & (off >= 0) & (off < count[:, l][:, None])
+        ln = jnp.where(hit, l, ln)
+        idx = jnp.where(hit, base[:, l][:, None] + off, idx)
+        found = found | hit
+    return ln, idx, found
+
+
+def _sym_lookup_320(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """tbl (L, 64, 5) f32, idx (L, B) int32 in [0, 320) -> (L, B) int32.
+
+    One-hot over the low 6 index bits rides the MXU; the 5 table rows are
+    picked with a select chain. HIGHEST precision keeps the integer
+    values exact (default f32 matmul truncates to one bf16 pass here).
+    """
+    lo = idx & 63
+    hi = idx >> 6
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, idx.shape + (64,), idx.ndim) == lo[..., None]
+    ).astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        oh,
+        tbl,
+        (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (L, B, 5)
+    out = jnp.zeros(idx.shape, jnp.float32)
+    for h in range(5):
+        out = jnp.where(hi == h, rows[..., h], out)
+    return out.astype(jnp.int32)
+
+
+def _sym_select32(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """tbl (L, 32) int32, idx (L, B) in [0, 32) -> (L, B) via select chain."""
+    out = jnp.zeros_like(idx)
+    for k in range(32):
+        out = jnp.where(idx == k, tbl[:, k][:, None], out)
     return out
 
 
 @jax.jit
 def stage_a(
-    payload: jnp.ndarray,  # (L, P) uint8, body starts inside byte 0
-    payload_bits: jnp.ndarray,  # (L,) int32
-    litlen_tbl: jnp.ndarray,  # (L, 64, 64) f32: packed len<<9|sym
-    dist_tbl: jnp.ndarray,  # (L, 64, 64) f32
+    payload: jnp.ndarray,  # (L, P) uint8, block body starts inside byte 0
+    payload_bits: jnp.ndarray,  # (L,) int32 valid bits per lane
+    ll_first: jnp.ndarray,  # (L, 16) int32 litlen canonical tables
+    ll_base: jnp.ndarray,
+    ll_count: jnp.ndarray,
+    ll_syms: jnp.ndarray,  # (L, 64, 5) f32 sorted litlen symbols
+    d_first: jnp.ndarray,  # (L, 16) int32 distance canonical tables
+    d_base: jnp.ndarray,
+    d_count: jnp.ndarray,
+    d_syms: jnp.ndarray,  # (L, 32) int32 sorted distance symbols
     dist_empty: jnp.ndarray,  # (L,) bool
 ):
-    """Per-bit-position speculative decode: returns (delta, token, sizes).
+    """Per-bit-position speculative decode.
 
-    delta (L,B) int32: bits consumed by the symbol group starting at each
-    position (1..42), or SENT_EOB / SENT_ERR.
-    token (L,B) int32: literal byte, or TOKEN_MATCH_BIT|run<<16|(dist-1).
+    Returns (delta, adv, token, sizes, errc), all (L, B):
+    - delta: bits consumed by the symbol group at each position (1..48),
+      or SENT_EOB / SENT_ERR;
+    - adv: the raw bit advance (valid at EOB positions, where delta is a
+      sentinel — used to compute the EOB exit bit for block chaining);
+    - token: literal byte, or TOKEN_MATCH_BIT|run<<16|(dist-1); -1 at EOB;
+    - sizes: output bytes produced (1 / run / 0);
+    - errc: precedence-ordered Reason code if decoding at this position
+      fails (0 = fine) — exactly the order the reference's serial reads
+      would trip (``decomp/Open.java:516-593``).
     """
     L, P = payload.shape
     B = P * 8
-    mask12 = (1 << DEV_LUT_BITS) - 1
 
-    ext = jnp.concatenate([payload, jnp.zeros((L, 4), jnp.uint8)], axis=1).astype(jnp.uint32)
-    u32 = ext[:, :P] | (ext[:, 1:P+1] << 8) | (ext[:, 2:P+2] << 16) | (ext[:, 3:P+3] << 24)
-    wbits = (u32[:, :, None] >> jnp.arange(8, dtype=jnp.uint32)[None, None, :]).reshape(L, B)
+    ext = jnp.concatenate([payload, jnp.zeros((L, 9), jnp.uint8)], axis=1).astype(jnp.uint32)
 
-    e1 = _bilinear_lookup(litlen_tbl, (wbits & mask12).astype(jnp.int32))
-    sym = e1 & 511
-    ln = e1 >> 9
-    is_lit = sym < 256
-    is_eob = sym == 256
-    is_match = sym > 256
+    def windows(off: int) -> jnp.ndarray:
+        """Full 32 valid stream bits starting at every bit position+off:
+        4-byte LE word shifted by the in-byte offset, topped up from the
+        5th byte (plain u32>>r alone leaves the high r bits zero)."""
+        u32 = (
+            ext[:, off : P + off]
+            | (ext[:, off + 1 : P + off + 1] << 8)
+            | (ext[:, off + 2 : P + off + 2] << 16)
+            | (ext[:, off + 3 : P + off + 3] << 24)
+        )
+        b4 = ext[:, off + 4 : P + off + 4]
+        r = jnp.arange(8, dtype=jnp.uint32)[None, None, :]
+        top = jnp.where(r > 0, b4[:, :, None] << ((32 - r) & 31), 0)
+        return ((u32[:, :, None] >> r) | top).reshape(L, B)
+
+    wbits = windows(0)
+    w32 = windows(4)  # the window 32 bits further on (distance follow)
+
+    ln, lidx, lfound = _canon_decode(wbits, ll_first, ll_base, ll_count)
+    sym = _sym_lookup_320(ll_syms, lidx)
+    is_lit = lfound & (sym < 256)
+    is_eob = lfound & (sym == 256)
+    is_match = lfound & (sym > 256)
+    reserved_len = is_match & (sym > 285)
+
     run_base, run_bits = _run_base_extra(sym)
-    run = run_base + ((wbits >> ln.astype(jnp.uint32)).astype(jnp.int32) & ((1 << run_bits) - 1))
-    d1 = ln + jnp.where(is_match, run_bits, 0)  # 1..17
+    lnu = ln.astype(jnp.uint32)
+    run = run_base + ((wbits >> lnu).astype(jnp.int32) & ((1 << run_bits) - 1))
+    d1 = ln + jnp.where(is_match, run_bits, 0)  # bits before the dist code
 
-    # Follow-window via banded select (d1 in [1,17]).
-    w2 = _banded_pick(wbits.astype(jnp.int32), d1, 17, 0).astype(jnp.uint32)
-    e2 = _bilinear_lookup(dist_tbl, (w2 & mask12).astype(jnp.int32))
-    dsym = e2 & 511
-    dln = e2 >> 9
+    # Follow window: pure elementwise splice of the two 32-bit windows
+    # (d1 <= 20, so >= 12 + 32 - 20 = 24... in fact 44 valid bits remain).
+    d1u = d1.astype(jnp.uint32)
+    hi_part = jnp.where(d1 > 0, w32 << ((32 - d1) & 31).astype(jnp.uint32), 0)
+    w2 = (wbits >> d1u) | hi_part
+
+    dln, didx, dfound = _canon_decode(w2, d_first, d_base, d_count)
+    dsym = _sym_select32(d_syms, didx)
     dist_base, dist_bits = _dist_base_extra(dsym)
     dist = dist_base + ((w2 >> dln.astype(jnp.uint32)).astype(jnp.int32) & ((1 << dist_bits) - 1))
-    delta = jnp.where(is_match, d1 + dln + dist_bits, d1)
 
     pos = jnp.arange(B, dtype=jnp.int32)[None, :]
-    bad = is_match & ((sym > 285) | (dsym > 29) | dist_empty[:, None])
-    overrun = pos + delta > payload_bits[:, None]  # raw consumption, incl. EOB bits
-    delta = jnp.where(is_eob, SENT_EOB, delta)
-    delta = jnp.where(bad | overrun, SENT_ERR, delta)
+    bits = payload_bits[:, None]
+    end_len = pos + ln
+    end_run = end_len + jnp.where(is_match, run_bits, 0)
+    end_dcode = end_run + dln
+    end_all = end_dcode + dist_bits
+
+    # Reference-ordered per-position error classification.
+    errc = jnp.zeros((L, B), jnp.int32)
+
+    def _set(errc, cond, code):
+        return jnp.where((errc == 0) & cond, code, errc)
+
+    errc = _set(errc, ~lfound, _ERR_END)  # safety: incomplete code (validated away)
+    errc = _set(errc, end_len > bits, _ERR_END)
+    errc = _set(errc, reserved_len, _ERR_RESERVED_LEN)
+    errc = _set(errc, is_match & (end_run > bits), _ERR_END)
+    errc = _set(errc, is_match & dist_empty[:, None], _ERR_EMPTY_DIST)
+    errc = _set(errc, is_match & ~dfound, _ERR_END)
+    errc = _set(errc, is_match & (end_dcode > bits), _ERR_END)
+    errc = _set(errc, is_match & (dsym > 29), _ERR_RESERVED_DIST)
+    errc = _set(errc, is_match & (end_all > bits), _ERR_END)
+
+    adv = jnp.where(is_match, end_all, end_len) - pos
+    delta = jnp.where(errc != 0, SENT_ERR, jnp.where(is_eob, SENT_EOB, adv))
 
     token = jnp.where(
         is_lit,
@@ -149,17 +316,18 @@ def stage_a(
     )
     token = jnp.where(is_eob, -1, token)
     sizes = jnp.where(is_lit, 1, jnp.where(is_match, jnp.clip(run, 3, 258), 0))
-    return delta, token, sizes
+    return delta, adv, token, sizes, errc
 
 
 @jax.jit
 def stage_b_transfers(delta_tiles: jnp.ndarray):
-    """delta_tiles (L, NT, W) int32 -> transfers (L, NT, 42) int32.
+    """delta_tiles (L, NT, W) int32 -> transfers (L, NT, ENTRY_WIN) int32.
 
-    transfer[e] = exit offset into the next tile in [0,42), or SENT_EOB /
-    SENT_ERR. 42 cursors advance in lock-step over the W tile bit
-    positions; a cursor that jumps past W-1 freezes (steps only fire for
-    s < W), so its final value - W is the entry offset of the next tile.
+    transfer[e] = exit offset into the next tile in [0, ENTRY_WIN), or
+    SENT_EOB / SENT_ERR. ENTRY_WIN cursors advance in lock-step over the
+    W tile bit positions; a cursor that jumps past W-1 freezes (steps
+    only fire for s < W), so its final value - W is the entry offset of
+    the next tile.
     """
     L, NT, W = delta_tiles.shape
     xs = jnp.moveaxis(delta_tiles, 2, 0)  # (W, L, NT)
@@ -175,8 +343,8 @@ def stage_b_transfers(delta_tiles: jnp.ndarray):
         return cur + adv, None
 
     svals = jnp.arange(W, dtype=jnp.int32)
-    cur, _ = jax.lax.scan(step, init, (xs, svals))
-    out = cur - W_TILE
+    cur, _ = jax.lax.scan(step, init, (xs, svals), unroll=SCAN_UNROLL)
+    out = cur - W
     out = jnp.where(cur >= SENT_ERR, SENT_ERR, jnp.where(cur >= SENT_EOB, SENT_EOB, out))
     return out
 
@@ -185,8 +353,10 @@ def stage_b_transfers(delta_tiles: jnp.ndarray):
 def stage_c_entries(transfers: jnp.ndarray, entry0: jnp.ndarray):
     """Compose transfers over tiles; entry offset of every tile + final state.
 
-    transfers (L, NT, 42); entry0 (L,) in [0,42). Returns entries (L, NT)
-    (value in [0,42) or sentinel) and final state (L,).
+    transfers (L, NT, ENTRY_WIN); entry0 (L,) in [0, ENTRY_WIN). Returns
+    entries (L, NT) (value in [0, ENTRY_WIN) or sentinel) and the final
+    state (L,): SENT_EOB (clean), SENT_ERR (decode error), or a small
+    offset (ran off the payload without EOB).
     """
     L, NT, E = transfers.shape
 
@@ -199,7 +369,6 @@ def stage_c_entries(transfers: jnp.ndarray, entry0: jnp.ndarray):
         return out
 
     prefix = jax.lax.associative_scan(compose, transfers, axis=1)  # inclusive
-    # entry[t] = prefix[t-1] applied to entry0; entry[0] = entry0.
     applied = jnp.full((L, NT), SENT_ERR, dtype=jnp.int32)
     for j in range(E):
         applied = jnp.where(entry0[:, None] == j, prefix[:, :, j], applied)
@@ -210,11 +379,7 @@ def stage_c_entries(transfers: jnp.ndarray, entry0: jnp.ndarray):
 
 @jax.jit
 def stage_d_reached(delta_tiles: jnp.ndarray, entries: jnp.ndarray):
-    """Replay the true chain: one cursor per tile -> reached bitmap.
-
-    delta_tiles (L, NT, W); entries (L, NT). Returns reached
-    (L, NT, W) bool over in-tile bit offsets.
-    """
+    """Replay the true chain: one cursor per tile -> reached bitmap."""
     L, NT, W = delta_tiles.shape
     xs = jnp.moveaxis(delta_tiles, 2, 0)
     svals = jnp.arange(W, dtype=jnp.int32)
@@ -226,23 +391,47 @@ def stage_d_reached(delta_tiles: jnp.ndarray, entries: jnp.ndarray):
         cur = cur + jnp.where(at, d, 0)
         return cur, at
 
-    _, reached = jax.lax.scan(step, cur0, (xs, svals))
+    _, reached = jax.lax.scan(step, cur0, (xs, svals), unroll=SCAN_UNROLL)
     return jnp.moveaxis(reached, 0, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("t_cap",))
-def compact_tokens(token: jnp.ndarray, sizes: jnp.ndarray, reached: jnp.ndarray, t_cap: int):
-    """Gather/scatter-free stream compaction of reached tokens.
+@jax.jit
+def stage_e_summary(
+    delta: jnp.ndarray,  # (L, B)
+    adv: jnp.ndarray,
+    errc: jnp.ndarray,
+    sizes: jnp.ndarray,
+    reached: jnp.ndarray,  # (L, B) bool
+):
+    """Terminal facts of the replayed chain (all small reductions).
 
-    token/sizes (L, B); reached (L, B) bool (EOB excluded via token=-1).
-    Returns (tokens (L, t_cap) int32, sizes (L, t_cap) int32, counts (L,)).
+    Returns (has_eob, eob_exit_bit, err_code, out_total): the chain
+    reaches at most one terminal position, so masked sums are exact.
+    """
+    B = delta.shape[1]
+    pos = jnp.arange(B, dtype=jnp.int32)[None, :]
+    eob_hit = reached & (delta == SENT_EOB)
+    has_eob = eob_hit.any(axis=1)
+    eob_exit = jnp.sum(jnp.where(eob_hit, pos + adv, 0), axis=1)
+    err_hit = reached & (delta == SENT_ERR)
+    err_code = jnp.sum(jnp.where(err_hit, errc, 0), axis=1)
+    valid = reached & (delta < SENT_EOB)
+    out_total = jnp.sum(jnp.where(valid, sizes, 0), axis=1)
+    return has_eob, eob_exit, err_code, out_total
+
+
+@functools.partial(jax.jit, static_argnames=("t_cap",))
+def compact_tokens(token: jnp.ndarray, sizes: jnp.ndarray, valid: jnp.ndarray, t_cap: int):
+    """Gather/scatter-free stream compaction of valid tokens.
+
+    token/sizes (L, B); valid (L, B) bool (caller excludes EOB/error
+    positions). Returns (tokens (L, t_cap), sizes (L, t_cap), counts (L,)).
 
     Displacement D[p] = p - rank(p) is non-decreasing over valid items, so
     moving every item left by the set bits of its displacement (low bit to
     high bit, one shifted select per bit) is collision-free.
     """
     L, B = token.shape
-    valid = reached & (token >= 0)
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     pos = jnp.arange(B, dtype=jnp.int32)[None, :]
     disp = jnp.where(valid, pos - rank, -1)
@@ -263,6 +452,244 @@ def compact_tokens(token: jnp.ndarray, sizes: jnp.ndarray, reached: jnp.ndarray,
     return tok[:, :t_cap], sz[:, :t_cap], counts
 
 
+# ---------------------------------------------------------------------------
+# Host driver: block-chained device decode of raw DEFLATE streams
+# ---------------------------------------------------------------------------
+
+
+W_CAP_INIT = 66560  # initial per-block device window (covers any 64 KiB block)
+
+
+@dataclass
+class LaneState:
+    """Decode progress of one raw DEFLATE stream."""
+
+    payload: bytes
+    bitpos: int = 0
+    done: bool = False
+    err: int = 0  # Reason code (reason_to_code), 0 = ok
+    tokens: list = field(default_factory=list)  # np.int32 arrays per block
+    out_total: int = 0
+    window: int = W_CAP_INIT  # device window bytes per block (grows on demand)
+
+    @property
+    def bits(self) -> int:
+        return len(self.payload) * 8
+
+
+def _read_bits_host(payload: bytes, bitpos: int, n: int) -> int:
+    """Little-endian LSB-first bit read (host, tiny header peeks only)."""
+    byte = bitpos >> 3
+    chunk = int.from_bytes(payload[byte : byte + 8], "little")
+    return (chunk >> (bitpos & 7)) & ((1 << n) - 1)
+
+
+def _host_stored_block(st: LaneState, bfinal: bool) -> None:
+    """Consume one stored block on the host (≙ Open.java:227-306)."""
+    bp = (st.bitpos + 3 + 7) & ~7  # header + align to byte
+    if bp + 32 > st.bits:
+        st.err = _ERR_END
+        return
+    byte = bp >> 3
+    ln = int.from_bytes(st.payload[byte : byte + 2], "little")
+    nlen = int.from_bytes(st.payload[byte + 2 : byte + 4], "little")
+    if ln != (nlen ^ 0xFFFF):
+        st.err = reason_to_code(Reason.UNCOMPRESSED_BLOCK_LENGTH_MISMATCH)
+        return
+    if bp + 32 + 8 * ln > st.bits:
+        # partial data still counts as output before the END error
+        avail = (st.bits - bp - 32) // 8
+        if avail > 0:
+            data = np.frombuffer(st.payload, np.uint8, avail, byte + 4).astype(np.int32)
+            st.tokens.append(data)
+            st.out_total += avail
+        st.err = _ERR_END
+        return
+    if ln:
+        data = np.frombuffer(st.payload, np.uint8, ln, byte + 4).astype(np.int32)
+        st.tokens.append(data)
+        st.out_total += ln
+    st.bitpos = bp + 32 + 8 * ln
+    if bfinal:
+        st.done = True
+
+
+def _advance_host(st: LaneState):
+    """Walk stored blocks / headers until a Huffman block (returns its
+    (bfinal, btype)) or the lane is done/errored (returns None)."""
+    while not (st.done or st.err):
+        if st.bits - st.bitpos < 3:
+            st.err = _ERR_END
+            return None
+        hdr = _read_bits_host(st.payload, st.bitpos, 3)
+        bfinal, btype = hdr & 1, hdr >> 1
+        if btype == 3:
+            st.err = reason_to_code(Reason.RESERVED_BLOCK_TYPE)
+            return None
+        if btype == 0:
+            st.bitpos += 0  # _host_stored_block accounts for the 3 bits
+            _host_stored_block(st, bool(bfinal))
+            continue
+        return bfinal, btype
+    return None
+
+
+def decode_deflate_streams_v2(payloads: list[bytes]) -> list[LaneState]:
+    """Decode raw DEFLATE streams (arbitrary block chains) on the device.
+
+    Returns per-lane LaneStates with the token stream (stored-block bytes
+    inlined as literal tokens, so LZ77 window continuity across blocks is
+    preserved at resolve time), the exact output size, and the
+    reference-taxonomy error code of the first failure (0 = clean).
+    """
+    assert len(payloads) <= V2_LANE_BATCH, "batch the lanes (V2_LANE_BATCH)"
+    lanes = [LaneState(p) for p in payloads]
+    while True:
+        wave = []  # (lane, bfinal) whose next block is Huffman
+        for st in lanes:
+            nxt = _advance_host(st)
+            if nxt is not None:
+                wave.append((st, bool(nxt[0] & 1)))
+        if not wave:
+            break
+        _decode_huffman_wave([st for st, _ in wave])
+        for st, bfinal in wave:
+            if not st.err and bfinal and st.bitpos_advanced:
+                st.done = True
+    return lanes
+
+
+def _decode_huffman_wave(wave: list[LaneState]) -> None:
+    """One batched device decode of each lane's current Huffman block."""
+    from . import decode_jax as dj
+
+    if not wave:
+        return
+    for st in wave:
+        st.bitpos_advanced = False
+    L_real = len(wave)
+    L = _bucket(L_real, V2_L_BUCKETS)
+    shifts = [st.bitpos // 8 for st in wave]
+    rems = [st.bitpos % 8 for st in wave]
+    avail = [len(st.payload) - sh for st, sh in zip(wave, shifts)]
+    remain = [min(a, st.window) for a, st in zip(avail, wave)]
+    P = _bucket(max(max(remain), 1), _P_BUCKETS)
+    rows = np.zeros((L, P), np.uint8)
+    row_bits = np.zeros(L, np.int64)
+    start_bits = np.zeros(L, np.int64)
+    for i, st in enumerate(wave):
+        rows[i, : remain[i]] = np.frombuffer(st.payload, np.uint8, remain[i], shifts[i])
+        row_bits[i] = remain[i] * 8
+        start_bits[i] = rems[i]
+    for i in range(L_real, L):
+        rows[i, : len(_PAD_PAYLOAD)] = np.frombuffer(_PAD_PAYLOAD, np.uint8)
+        row_bits[i] = len(_PAD_PAYLOAD) * 8
+    truncated = [remain[i] < avail[i] for i in range(L_real)]
+
+    # Batched header parse; on failure in a multi-lane batch, re-parse
+    # lane-by-lane so the error lands on the right stream only.
+    try:
+        hp = dj.parse_headers_batch(rows, row_bits, start_bits=start_bits)
+    except DataFormatError:
+        for i, st in enumerate(wave):
+            r = _reparse_single(rows[i : i + 1], row_bits[i : i + 1], start_bits[i : i + 1])
+            if r is not None:
+                st.err = reason_to_code(r)
+        rest = [st for st in wave if not st.err]
+        if len(rest) < len(wave):
+            _decode_huffman_wave(rest)
+        return
+
+    _run_block_stages(wave, rows, row_bits, hp, truncated)
+
+
+def _reparse_single(rows, row_bits, start_bits):
+    from . import decode_jax as dj
+
+    try:
+        dj.parse_headers_batch(rows, row_bits, start_bits=start_bits)
+        return None
+    except DataFormatError as e:
+        return e.reason
+
+
+def _run_block_stages(wave, rows, row_bits, hp, truncated) -> None:
+    L, P = rows.shape
+
+    # Byte-shift each row so the block body starts inside byte 0.
+    shift2 = (hp.body_bitpos // 8).astype(np.int64)
+    rem2 = (hp.body_bitpos % 8).astype(np.int32)
+    shifted = np.zeros_like(rows)
+    for i in range(L):
+        s = int(shift2[i])
+        shifted[i, : P - s] = rows[i, s:]
+    body_bits = (row_bits - shift2 * 8).astype(np.int32)
+
+    llt = canonical_tables(hp.litlen_lengths)
+    dt = canonical_tables(hp.dist_lengths)
+
+    B = P * 8
+    NT = B // W_TILE
+    delta, adv, token, sizes, errc = stage_a(
+        jnp.asarray(shifted),
+        jnp.asarray(body_bits),
+        jnp.asarray(llt["first"]),
+        jnp.asarray(llt["base"]),
+        jnp.asarray(llt["count"]),
+        jnp.asarray(_litlen_sym_table(llt["syms"])),
+        jnp.asarray(dt["first"]),
+        jnp.asarray(dt["base"]),
+        jnp.asarray(dt["count"]),
+        jnp.asarray(dt["syms"][:, :32]),
+        jnp.asarray(hp.dist_empty),
+    )
+    delta_tiles = delta.reshape(L, NT, W_TILE)
+    transfers = stage_b_transfers(delta_tiles)
+    entries, final = stage_c_entries(transfers, jnp.asarray(rem2))
+    reached = stage_d_reached(delta_tiles, entries).reshape(L, B)
+    has_eob, eob_exit, err_code, out_total = stage_e_summary(delta, adv, errc, sizes, reached)
+    valid = reached & (delta < SENT_EOB)
+    tokens, _, counts = compact_tokens(token, sizes, valid, B)
+
+    # Pull the small vectors first; then only the token columns in use —
+    # the device->host link is the scarce resource on tunneled backends.
+    counts_h = np.asarray(counts)
+    has_eob_h = np.asarray(has_eob)
+    eob_exit_h = np.asarray(eob_exit)
+    err_h = np.asarray(err_code)
+    total_h = np.asarray(out_total)
+    kmax = int(counts_h[: len(wave)].max()) if wave else 0
+    bucket = 4096
+    k = min(B, -(-max(kmax, 1) // bucket) * bucket)
+    tokens_h = np.asarray(tokens[:, :k])
+
+    for i, st in enumerate(wave):
+        # A window-truncated row can only produce spurious
+        # UNEXPECTED_END (overrun against the window edge) or a missing
+        # EOB — grow the window and redo the block. Any other error, or
+        # an EOB, is genuine regardless of truncation.
+        if truncated[i] and not has_eob_h[i] and err_h[i] in (0, _ERR_END):
+            st.window *= 4
+            continue
+        if counts_h[i]:
+            st.tokens.append(tokens_h[i, : counts_h[i]])
+            st.out_total += int(total_h[i])
+        if err_h[i]:
+            st.err = int(err_h[i])
+        elif has_eob_h[i]:
+            # global bit position just past this block's EOB symbol
+            st.bitpos = (st.bitpos // 8 + int(shift2[i])) * 8 + int(eob_exit_h[i])
+            st.bitpos_advanced = True
+        else:
+            # ran off the payload without reaching EOB
+            st.err = _ERR_END
+
+
+# ---------------------------------------------------------------------------
+# Resolve + container integration
+# ---------------------------------------------------------------------------
+
+
 def _resolve_tokens_numpy(tokens: np.ndarray, count: int) -> bytes:
     """Fallback token expansion (native C is the fast path)."""
     out = bytearray()
@@ -281,16 +708,60 @@ def _resolve_tokens_numpy(tokens: np.ndarray, count: int) -> bytes:
 
 
 def _df(reason):
-    from ..format.errors import DataFormatError
-
     return DataFormatError(reason, reason.name)
+
+
+def _resolve_lane(st: LaneState, cap: int | None):
+    """Expand a lane's token stream; honors reference error ordering.
+
+    A bad back-reference (COPY_FROM_BEFORE_DICTIONARY_START) occurs
+    earlier in the stream than any pending stage error, so resolve runs
+    first; the stage error is raised only if resolution succeeds.
+    """
+    tokens = (
+        np.concatenate(st.tokens) if st.tokens else np.zeros(0, np.int32)
+    ).astype(np.int32)
+    want = cap if (cap is not None and not st.err) else st.out_total + 1
+    try:
+        from .. import native as _native
+
+        have_native = _native.available()
+    except Exception:
+        have_native = False
+    if have_native:
+        from .. import native as _native
+        from ..format.errors import OutputCapacityError
+
+        try:
+            out = _native.resolve_tokens(tokens, max(want, 1))
+        except OutputCapacityError:
+            raise _df(Reason.DECOMPRESSED_SIZE_MISMATCH)
+    else:
+        out = _resolve_tokens_numpy(tokens, tokens.size)
+        if cap is not None and not st.err and len(out) > cap:
+            raise _df(Reason.DECOMPRESSED_SIZE_MISMATCH)
+    if st.err:
+        from ..format.errors import check_device_error
+
+        check_device_error(st.err)
+    return out
+
+
+def inflate_raw_v2(payload: bytes) -> bytes:
+    """Decode one complete raw DEFLATE stream through the device pipeline.
+
+    Raises DataFormatError with the reference taxonomy; used by the
+    conformance suite to run the transcribed reference vectors against
+    the device decoder.
+    """
+    st = decode_deflate_streams_v2([payload])[0]
+    return _resolve_lane(st, None)
 
 
 def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True) -> bytes:
     """Member-parallel decode through the gather-free device pipeline."""
     import io
 
-    from ..format.errors import DataFormatError
     from ..kernels.checksum import crc32 as crc32_host
     from . import decode_jax as dj
 
@@ -300,13 +771,6 @@ def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True) -> bytes:
         from ..streams.gzip_stream import GzipReader
 
         return GzipReader(io.BytesIO(data), multi_member=True).read()
-
-    try:
-        from .. import native as _native
-
-        have_native = _native.available()
-    except Exception:
-        have_native = False
 
     out_parts: list[bytes | None] = [None] * len(members)
     huff: list[tuple[int, dj.MemberIndex]] = []
@@ -319,118 +783,20 @@ def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True) -> bytes:
 
     for base in range(0, len(huff), V2_LANE_BATCH):
         batch = huff[base : base + V2_LANE_BATCH]
-        results = _decode_batch_v2(buf, [m for _, m in batch], have_native, verify_crc)
-        for (i, _), r in zip(batch, results):
-            out_parts[i] = r
-    return b"".join(p for p in out_parts if p is not None)
-
-
-def _decode_batch_v2(buf, batch, have_native, verify_crc):
-    from ..format.errors import DataFormatError
-    from ..kernels.checksum import crc32 as crc32_host
-    from . import decode_jax as dj
-
-    L_real = len(batch)
-    L = dj._bucket(L_real, V2_L_BUCKETS)
-    pay_lens = np.zeros(L, dtype=np.int64)
-    pay_lens[:L_real] = [m.end - 8 - m.payload_start for m in batch]
-    if pay_lens.max() > dj.PAYLOAD_PAD:
-        return dj._host_fallback(buf, batch)
-    P = dj._bucket(int(pay_lens.max()), dj._P_BUCKETS)
-    payload = np.zeros((L, P), dtype=np.uint8)
-    for i, m in enumerate(batch):
-        payload[i, : pay_lens[i]] = buf[m.payload_start : m.end - 8]
-    for i in range(L_real, L):
-        payload[i, : len(dj._PAD_PAYLOAD)] = np.frombuffer(dj._PAD_PAYLOAD, np.uint8)
-        pay_lens[i] = len(dj._PAD_PAYLOAD)
-    payload_bits = pay_lens * 8
-
-    hp = dj.parse_headers_batch(payload, payload_bits)
-    if not hp.bfinal.all():
-        return dj._host_fallback(buf, batch)
-    if hp.litlen_lengths.max() > DEV_LUT_BITS or hp.dist_lengths.max() > DEV_LUT_BITS:
-        return dj._host_fallback(buf, batch)
-
-    litlen_lut = dj.build_luts_batch(hp.litlen_lengths)
-    dist_lut = dj.build_luts_batch(hp.dist_lengths)
-
-    # Byte-shift each row so the block body starts inside byte 0.
-    shift = (hp.body_bitpos // 8).astype(np.int64)
-    start_rem = (hp.body_bitpos % 8).astype(np.int32)
-    shifted = np.zeros_like(payload)
-    for i in range(L):
-        s = int(shift[i])
-        shifted[i, : P - s] = payload[i, s:]
-    body_bits = (payload_bits - shift * 8).astype(np.int32)
-
-    tokens, counts, final = decode_tokens_v2(
-        shifted, start_rem, body_bits, litlen_lut, dist_lut, hp.dist_empty
-    )
-
-    results = []
-    for i, m in enumerate(batch):
-        if int(final[i]) != SENT_EOB:
-            raise _df(Reason.UNEXPECTED_END_OF_STREAM)
-        ntok = int(counts[i])
-        if have_native:
-            from .. import native as _native
-            from ..format.errors import OutputCapacityError
-
-            try:
-                out = _native.resolve_tokens(tokens[i, :ntok], m.isize + 1)
-            except OutputCapacityError:
-                # overflowed the trailer-declared size; DataFormatError
-                # (e.g. COPY_FROM_BEFORE_DICTIONARY_START) propagates
+        payloads = [buf[m.payload_start : m.end - 8].tobytes() for _, m in batch]
+        states = decode_deflate_streams_v2(payloads)
+        for (i, m), st in zip(batch, states):
+            out = _resolve_lane(st, m.isize)
+            if len(out) != m.isize:
                 raise _df(Reason.DECOMPRESSED_SIZE_MISMATCH)
-        else:
-            out = _resolve_tokens_numpy(tokens[i], ntok)
-        if len(out) != m.isize:
-            raise _df(Reason.DECOMPRESSED_SIZE_MISMATCH)
-        if verify_crc:
-            try:
-                from .. import native as _native
+            if verify_crc:
+                try:
+                    from .. import native as _native
 
-                got = _native.crc32(out)
-            except Exception:
-                got = crc32_host(out)
-            if got != m.crc32:
-                raise _df(Reason.DECOMPRESSED_CHECKSUM_MISMATCH)
-        results.append(out)
-    return results
-
-
-def decode_tokens_v2(payload_np, start_rem, payload_bits, litlen_lut, dist_lut, dist_empty):
-    """Host driver for phase 1 v2. payload rows must be byte-shifted so the
-    block body begins in byte 0 (bit offset start_rem).
-
-    Returns (tokens (L,T) np.int32, counts (L,), final_state (L,)) where
-    final_state is SENT_EOB for clean streams.
-    """
-    L, P = payload_np.shape
-    assert P * 8 % W_TILE == 0
-    lt = jnp.asarray(litlen_lut.reshape(L, 64, 64).astype(np.float32))
-    dt = jnp.asarray(dist_lut.reshape(L, 64, 64).astype(np.float32))
-    delta, token, sizes = stage_a(
-        jnp.asarray(payload_np),
-        jnp.asarray(payload_bits.astype(np.int32)),
-        lt,
-        dt,
-        jnp.asarray(dist_empty),
-    )
-    B = P * 8
-    NT = B // W_TILE
-    delta_tiles = delta.reshape(L, NT, W_TILE)
-    transfers = stage_b_transfers(delta_tiles)
-    entries, final = stage_c_entries(transfers, jnp.asarray(start_rem.astype(np.int32)))
-    reached_t = stage_d_reached(delta_tiles, entries)
-    reached = reached_t.reshape(L, B)
-    tokens, sizes_c, counts = compact_tokens(token, sizes, reached, 65537)
-    # Pull counts first (tiny); then only the token columns actually used —
-    # the device->host link is the scarce resource on tunneled backends.
-    counts_h = np.asarray(counts)
-    final_h = np.asarray(final)
-    kmax = int(counts_h.max()) if counts_h.size else 0
-    bucket = 4096
-    k = min(65537, -(-max(kmax, 1) // bucket) * bucket)
-    tokens_h = np.asarray(tokens[:, :k])
-    return tokens_h, counts_h, final_h
+                    got = _native.crc32(out)
+                except Exception:
+                    got = crc32_host(out)
+                if got != m.crc32:
+                    raise _df(Reason.DECOMPRESSED_CHECKSUM_MISMATCH)
+            out_parts[i] = out
+    return b"".join(p for p in out_parts if p is not None)

@@ -128,3 +128,31 @@ def test_pod_mesh_and_halo_on_2d():
     vals = np.arange(4 * 6, dtype=np.int32).reshape(4, 6)
     out = np.asarray(psum_stats(jnp.asarray(vals), make_codec_mesh(4)))
     np.testing.assert_array_equal(out.reshape(6), vals.sum(axis=0))
+
+
+def test_sharded_decode_bit_exact(mesh):
+    """Mesh-sharded v2 decode == single-device decode == original bytes,
+    including a corrupt-lane case (error isolation must survive sharding)."""
+    import random
+
+    from tpu_deflate.codec.decode_jax_v2 import gzip_decompress_tpu_v2
+    from tpu_deflate.codec.profile import profile_compress_host
+    from tpu_deflate.engine import decompress
+    from tpu_deflate import native, DataFormatError
+
+    rng = random.Random(0)
+    words = [bytes(rng.getrandbits(8) for _ in range(rng.randint(2, 9))) for _ in range(50)]
+    data = bytearray()
+    while len(data) < 400_000:
+        data += rng.choice(words)
+    data = bytes(data[:400_000])
+    gz = native.compress_members_native(data) if native.available() else profile_compress_host(data)
+
+    single = gzip_decompress_tpu_v2(gz)
+    sharded = decompress(gz, mesh=mesh)
+    assert single == sharded == data
+
+    bad = bytearray(gz)
+    bad[len(bad) // 3] ^= 0x11
+    with pytest.raises(DataFormatError):
+        decompress(bytes(bad), mesh=mesh)

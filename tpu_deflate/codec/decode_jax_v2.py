@@ -534,13 +534,17 @@ def _advance_host(st: LaneState):
     return None
 
 
-def decode_deflate_streams_v2(payloads: list[bytes]) -> list[LaneState]:
+def decode_deflate_streams_v2(payloads: list[bytes], runner=None) -> list[LaneState]:
     """Decode raw DEFLATE streams (arbitrary block chains) on the device.
 
     Returns per-lane LaneStates with the token stream (stored-block bytes
     inlined as literal tokens, so LZ77 window continuity across blocks is
     preserved at resolve time), the exact output size, and the
     reference-taxonomy error code of the first failure (0 = clean).
+
+    ``runner`` optionally replaces the single-device stage pipeline with a
+    mesh-sharded one (``dist.sharded.sharded_decode``); it maps the wave
+    input dict to the 6-tuple ``_run_wave_device`` returns.
     """
     assert len(payloads) <= V2_LANE_BATCH, "batch the lanes (V2_LANE_BATCH)"
     lanes = [LaneState(p) for p in payloads]
@@ -552,14 +556,14 @@ def decode_deflate_streams_v2(payloads: list[bytes]) -> list[LaneState]:
                 wave.append((st, bool(nxt[0] & 1)))
         if not wave:
             break
-        _decode_huffman_wave([st for st, _ in wave])
+        _decode_huffman_wave([st for st, _ in wave], runner)
         for st, bfinal in wave:
             if not st.err and bfinal and st.bitpos_advanced:
                 st.done = True
     return lanes
 
 
-def _decode_huffman_wave(wave: list[LaneState]) -> None:
+def _decode_huffman_wave(wave: list[LaneState], runner=None) -> None:
     """One batched device decode of each lane's current Huffman block."""
     from . import decode_jax as dj
 
@@ -569,6 +573,9 @@ def _decode_huffman_wave(wave: list[LaneState]) -> None:
         st.bitpos_advanced = False
     L_real = len(wave)
     L = _bucket(L_real, V2_L_BUCKETS)
+    lane_multiple = getattr(runner, "lane_multiple", 1)
+    if lane_multiple > 1:
+        L = -(-L // lane_multiple) * lane_multiple
     shifts = [st.bitpos // 8 for st in wave]
     rems = [st.bitpos % 8 for st in wave]
     avail = [len(st.payload) - sh for st, sh in zip(wave, shifts)]
@@ -597,10 +604,10 @@ def _decode_huffman_wave(wave: list[LaneState]) -> None:
                 st.err = reason_to_code(r)
         rest = [st for st in wave if not st.err]
         if len(rest) < len(wave):
-            _decode_huffman_wave(rest)
+            _decode_huffman_wave(rest, runner)
         return
 
-    _run_block_stages(wave, rows, row_bits, hp, truncated)
+    _run_block_stages(wave, rows, row_bits, hp, truncated, runner)
 
 
 def _reparse_single(rows, row_bits, start_bits):
@@ -613,10 +620,11 @@ def _reparse_single(rows, row_bits, start_bits):
         return e.reason
 
 
-def _run_block_stages(wave, rows, row_bits, hp, truncated) -> None:
+def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.ndarray]:
+    """Host prep shared by all drivers: byte-shift rows so the block body
+    starts inside byte 0, and build canonical decode tables. Returns the
+    wave input dict (numpy) and the per-lane byte shift."""
     L, P = rows.shape
-
-    # Byte-shift each row so the block body starts inside byte 0.
     shift2 = (hp.body_bitpos // 8).astype(np.int64)
     rem2 = (hp.body_bitpos % 8).astype(np.int32)
     shifted = np.zeros_like(rows)
@@ -624,32 +632,49 @@ def _run_block_stages(wave, rows, row_bits, hp, truncated) -> None:
         s = int(shift2[i])
         shifted[i, : P - s] = rows[i, s:]
     body_bits = (row_bits - shift2 * 8).astype(np.int32)
-
     llt = canonical_tables(hp.litlen_lengths)
     dt = canonical_tables(hp.dist_lengths)
+    w = {
+        "payload": shifted,
+        "payload_bits": body_bits,
+        "ll_first": llt["first"],
+        "ll_base": llt["base"],
+        "ll_count": llt["count"],
+        "ll_syms": _litlen_sym_table(llt["syms"]),
+        "d_first": dt["first"],
+        "d_base": dt["base"],
+        "d_count": dt["count"],
+        "d_syms": dt["syms"][:, :32].copy(),
+        "dist_empty": hp.dist_empty,
+        "rem": rem2,
+    }
+    return w, shift2
 
-    B = P * 8
-    NT = B // W_TILE
+
+def _run_wave_device(w: dict):
+    """Device stages A-E + compaction for one staged wave; returns device
+    arrays (tokens, counts, has_eob, eob_exit, err_code, out_total)."""
     delta, adv, token, sizes, errc = stage_a(
-        jnp.asarray(shifted),
-        jnp.asarray(body_bits),
-        jnp.asarray(llt["first"]),
-        jnp.asarray(llt["base"]),
-        jnp.asarray(llt["count"]),
-        jnp.asarray(_litlen_sym_table(llt["syms"])),
-        jnp.asarray(dt["first"]),
-        jnp.asarray(dt["base"]),
-        jnp.asarray(dt["count"]),
-        jnp.asarray(dt["syms"][:, :32]),
-        jnp.asarray(hp.dist_empty),
+        w["payload"], w["payload_bits"],
+        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
+        w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
     )
-    delta_tiles = delta.reshape(L, NT, W_TILE)
+    L, B = delta.shape
+    delta_tiles = delta.reshape(L, B // W_TILE, W_TILE)
     transfers = stage_b_transfers(delta_tiles)
-    entries, final = stage_c_entries(transfers, jnp.asarray(rem2))
+    entries, final = stage_c_entries(transfers, w["rem"])
     reached = stage_d_reached(delta_tiles, entries).reshape(L, B)
     has_eob, eob_exit, err_code, out_total = stage_e_summary(delta, adv, errc, sizes, reached)
     valid = reached & (delta < SENT_EOB)
     tokens, _, counts = compact_tokens(token, sizes, valid, B)
+    return tokens, counts, has_eob, eob_exit, err_code, out_total
+
+
+def _run_block_stages(wave, rows, row_bits, hp, truncated, runner=None) -> None:
+    w, shift2 = _wave_arrays(rows, row_bits, hp)
+    run = runner if runner is not None else _run_wave_device
+    tokens, counts, has_eob, eob_exit, err_code, out_total = run(w)
+    B = rows.shape[1] * 8
 
     # Pull the small vectors first; then only the token columns in use —
     # the device->host link is the scarce resource on tunneled backends.
@@ -758,12 +783,139 @@ def inflate_raw_v2(payload: bytes) -> bytes:
     return _resolve_lane(st, None)
 
 
-def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True) -> bytes:
-    """Member-parallel decode through the gather-free device pipeline."""
+def _prep_wave(payloads: list[bytes], lanes: int):
+    """Host-side prep of one lane wave (header parse + canonical tables +
+    byte-shifted rows) for single-block-per-member profile streams."""
+    from . import decode_jax as dj
+
+    L = _bucket(len(payloads), V2_L_BUCKETS) if lanes is None else lanes
+    P = _bucket(max(len(p) for p in payloads), _P_BUCKETS)
+    rows = np.zeros((L, P), np.uint8)
+    row_bits = np.zeros(L, np.int64)
+    for i, p in enumerate(payloads):
+        rows[i, : len(p)] = np.frombuffer(p, np.uint8)
+        row_bits[i] = len(p) * 8
+    for i in range(len(payloads), L):
+        rows[i, : len(_PAD_PAYLOAD)] = np.frombuffer(_PAD_PAYLOAD, np.uint8)
+        row_bits[i] = len(_PAD_PAYLOAD) * 8
+    hp = dj.parse_headers_batch(rows, row_bits)
+    w, _shift2 = _wave_arrays(rows, row_bits, hp)
+    return w
+
+
+def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 3) -> dict:
+    """Device-kernel-only decode throughput (relay link excluded).
+
+    Compresses ``data`` to the member-profile stream, stages every wave's
+    inputs in HBM (host prep and upload untimed), then times the device
+    stages A-E + token compaction; a summed scalar pull at the end forces
+    materialization (block_until_ready does not block on the tunneled
+    relay backend). Reports throughput against both the uncompressed
+    bytes represented by the decoded token streams and the compressed
+    payload bytes scanned. LZ77 token resolution (host memcpy work) and
+    the host<->device link are *excluded* — this isolates how fast the
+    chip runs the serial-bottleneck Huffman/token decode.
+    """
+    import time
+
+    from . import decode_jax as dj
+
+    try:
+        from .. import native as _native
+
+        gz = _native.compress_members_native(data)
+    except Exception:
+        from .profile import profile_compress_host
+
+        gz = profile_compress_host(data)
+    buf = np.frombuffer(gz, dtype=np.uint8)
+    members = dj.split_members(buf)
+    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in members]
+    isize_total = int(sum(m.isize for m in members))
+    payload_total = sum(len(p) for p in payloads)
+
+    waves = []
+    for base in range(0, len(payloads), lanes):
+        w = _prep_wave(payloads[base : base + lanes], lanes)
+        waves.append({k: jax.device_put(jnp.asarray(v)) for k, v in w.items()})
+    # Force staging before the clock starts.
+    force = sum(jnp.sum(w["payload"].astype(jnp.int32)) for w in waves)
+    np.asarray(force)
+
+    def run_all():
+        acc = jnp.zeros((), jnp.int32)
+        for w in waves:
+            tokens, counts, has_eob, eob_exit, err_code, out_total = _run_wave_device(w)
+            acc = acc + jnp.sum(out_total)
+            acc = acc + jnp.sum(tokens[:, :: max(1, tokens.shape[1] // 64)])
+            acc = acc + jnp.sum(counts) + jnp.sum(err_code)
+        return np.asarray(acc)  # single pull forces the whole graph
+
+    run_all()  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        run_all()
+        best = min(best, time.monotonic() - t0)
+
+    res = {
+        "lanes": lanes,
+        "members": len(payloads),
+        "payload_mb": round(payload_total / 2**20, 1),
+        "uncompressed_mb": round(isize_total / 2**20, 1),
+        "decode_gbps": round(isize_total / best / 1e9, 4),
+        "payload_gbps": round(payload_total / best / 1e9, 4),
+        "note": "device Huffman/token stages only; LZ77 resolve + link excluded",
+    }
+
+    # Per-stage breakdown on the first wave (each stage forced separately).
+    w = waves[0]
+    stages = {}
+
+    def _t(name, fn, *args):
+        out = fn(*args)
+        np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.int32)))  # warm
+        t0 = time.monotonic()
+        out = fn(*args)
+        np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.int32)))
+        stages[name] = round(time.monotonic() - t0, 4)
+        return out
+
+    delta, adv, token, sizes, errc = _t(
+        "a", stage_a,
+        w["payload"], w["payload_bits"],
+        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
+        w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
+    )
+    L, B = delta.shape
+    delta_tiles = delta.reshape(L, B // W_TILE, W_TILE)
+    transfers = _t("b", stage_b_transfers, delta_tiles)
+    entries, final = _t("c", stage_c_entries, transfers, w["rem"])
+    reached = _t("d", stage_d_reached, delta_tiles, entries).reshape(L, B)
+    _t("e", stage_e_summary, delta, adv, errc, sizes, reached)
+    valid = reached & (delta < SENT_EOB)
+    _t("compact", functools.partial(compact_tokens, t_cap=B), token, sizes, valid)
+    res["stage_seconds_wave0"] = stages
+    return res
+
+
+def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True, mesh=None) -> bytes:
+    """Member-parallel decode through the gather-free device pipeline.
+
+    With ``mesh``, the lane axis of every device stage is sharded over the
+    mesh's ``data`` axis (dist.sharded.sharded_decode) — members decode
+    data-parallel across chips, bit-exact with the single-device path.
+    """
     import io
 
     from ..kernels.checksum import crc32 as crc32_host
     from . import decode_jax as dj
+
+    runner = None
+    if mesh is not None:
+        from ..dist.sharded import sharded_decode
+
+        runner = sharded_decode(mesh)
 
     buf = np.frombuffer(data, dtype=np.uint8)
     members = dj.split_members(buf)
@@ -784,7 +936,7 @@ def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True) -> bytes:
     for base in range(0, len(huff), V2_LANE_BATCH):
         batch = huff[base : base + V2_LANE_BATCH]
         payloads = [buf[m.payload_start : m.end - 8].tobytes() for _, m in batch]
-        states = decode_deflate_streams_v2(payloads)
+        states = decode_deflate_streams_v2(payloads, runner)
         for (i, m), st in zip(batch, states):
             out = _resolve_lane(st, m.isize)
             if len(out) != m.isize:

@@ -131,20 +131,43 @@ def sharded_analyze_emit(mesh: Mesh, axis: str = "data"):
     return step
 
 
+_SHARDED_DECODE_CACHE: dict = {}
+
+
 def sharded_decode(mesh: Mesh, axis: str = "data"):
-    """pjit'd decode phases with the lane axis sharded over the mesh."""
-    from ..codec import decode_jax as dj
+    """Mesh-sharded v2 decode runner (lane axis data-parallel).
+
+    Returns a callable mapping the v2 wave input dict to the 6-tuple
+    ``decode_jax_v2._run_wave_device`` returns, with every array's lane
+    axis sharded over ``mesh[axis]``. Lanes are independent members, so
+    XLA partitions all stages with zero communication; the host driver
+    (``decode_deflate_streams_v2``) pads the lane count to a multiple of
+    the mesh size via the runner's ``lane_multiple`` attribute. Cached
+    per (mesh, axis) so jit re-use survives across calls.
+    """
+    key = (mesh, axis)
+    cached = _SHARDED_DECODE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    from ..codec import decode_jax_v2 as v2
 
     lane = NamedSharding(mesh, P(axis))
+    n = mesh.devices.size
 
-    @functools.partial(jax.jit, out_shardings=(lane, lane, lane))
-    def phase1(payload, body_bitpos, payload_bits, litlen_lut, dist_lut, dist_empty, tokens_init):
-        return dj.decode_tokens_device(
-            payload, body_bitpos, payload_bits, litlen_lut, dist_lut, dist_empty, tokens_init
-        )
+    keys = (
+        "payload", "payload_bits", "ll_first", "ll_base", "ll_count",
+        "ll_syms", "d_first", "d_base", "d_count", "d_syms", "dist_empty", "rem",
+    )
 
-    @functools.partial(jax.jit, out_shardings=(lane, lane, lane))
-    def phase2(tokens, tcount):
-        return dj.resolve_lz77_device(tokens, tcount, jnp.int32(dj.MEMBER_DATA))
+    @jax.jit
+    def run_tuple(*args):
+        return v2._run_wave_device(dict(zip(keys, args)))
 
-    return phase1, phase2
+    def runner(w: dict):
+        args = tuple(jax.device_put(jnp.asarray(w[k]), lane) for k in keys)
+        return run_tuple(*args)
+
+    runner.lane_multiple = n
+    _SHARDED_DECODE_CACHE[key] = runner
+    return runner

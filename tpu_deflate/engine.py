@@ -88,9 +88,18 @@ def compress(
     return td.gzip_compress(data, effort=effort, metadata=metadata)
 
 
-def decompress(data: bytes, *, engine: str | None = None, config=None) -> bytes:
+def decompress(data: bytes, *, engine: str | None = None, config=None, mesh=None) -> bytes:
+    """Decompress gzip with the selected engine.
+
+    ``mesh`` (a jax.sharding.Mesh; implies engine="tpu") shards the device
+    decode's lane axis data-parallel over the mesh — multi-chip decode
+    with bit-exact single-device semantics.
+    """
     cfg = _decoder_cfg(config)
-    engine = _resolve(engine if engine is not None else cfg.engine)
+    if mesh is not None:
+        engine = "tpu"
+    else:
+        engine = _resolve(engine if engine is not None else cfg.engine)
     if engine == "native":
         from . import native
 
@@ -98,7 +107,7 @@ def decompress(data: bytes, *, engine: str | None = None, config=None) -> bytes:
     if engine == "tpu":
         from .codec.decode_jax_v2 import gzip_decompress_tpu_v2
 
-        return gzip_decompress_tpu_v2(data, verify_crc=cfg.verify_crc)
+        return gzip_decompress_tpu_v2(data, verify_crc=cfg.verify_crc, mesh=mesh)
     import tpu_deflate as td
 
     return td.gzip_decompress(data)

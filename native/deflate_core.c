@@ -909,3 +909,430 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
     }
     return dyn_bits;
 }
+
+/* ================================================================== */
+/* Parallel foreign-stream decode (rapidgzip-style resync prepass)     */
+/*                                                                     */
+/* Any real-world .gz has unmarked, non-byte-aligned block boundaries  */
+/* (decomp/Open.java:83-110 walks them serially). Parallel decode:     */
+/*   1. td_find_sync: scan a byte range for a bit offset where a       */
+/*      dynamic block header parses + a trial decode survives — a      */
+/*      speculative candidate boundary (cheap 17-bit prefilter, then   */
+/*      counts-only Kraft checks, big LUTs only for finalists).        */
+/*   2. td_inflate_marker: decode a segment from a candidate in        */
+/*      *marker* space: u16 output where 0..255 are literal bytes and  */
+/*      256+r means "window byte r before segment start" — back-refs   */
+/*      into the unknown 32 KiB pre-segment window propagate through   */
+/*      copies unresolved (the two-pass LZ77 of SURVEY.md §2.1).       */
+/*   3. The host driver chains segments: a segment is adopted iff the  */
+/*      serial block walk lands exactly on its start bit (handover     */
+/*      validation => bit-exactness regardless of probe quality).      */
+/*   4. td_resolve_markers: substitute markers against the resolved    */
+/*      window of the adopted prefix.                                  */
+/* ================================================================== */
+
+static void bi_init_at(BitIn *b, const uint8_t *in, size_t n, int64_t bit) {
+    bi_init(b, in, n);
+    b->pos = (size_t)(bit >> 3);
+    int rem = (int)(bit & 7);
+    if (rem) {
+        bi_fill(b);
+        b->reg >>= rem;
+        b->reg_bits -= rem;
+    }
+}
+
+static int64_t bi_bitpos(const BitIn *b) {
+    return (int64_t)b->pos * 8 - b->reg_bits;
+}
+
+/* Parse a dynamic-block header into caller LUTs (mirrors td_inflate's
+ * inline parse; same validation order). b is positioned after the 3-bit
+ * block header. */
+static int parse_dyn_to_luts(BitIn *b, Lut *ll_lut, Lut *d_lut,
+                             const Lut **ll, const Lut **dd, int *dist_empty) {
+    int err;
+    uint32_t v, hlit, hdist, hclen;
+    if ((err = bi_read(b, 5, &hlit))) return err;
+    if ((err = bi_read(b, 5, &hdist))) return err;
+    if ((err = bi_read(b, 4, &hclen))) return err;
+    int nlit = (int)hlit + 257, ndist = (int)hdist + 1, nclen = (int)hclen + 4;
+    uint8_t clen_lens[19];
+    memset(clen_lens, 0, sizeof clen_lens);
+    for (int i = 0; i < nclen; i++) {
+        if ((err = bi_read(b, 3, &v))) return err;
+        clen_lens[CLEN_ORDER[i]] = (uint8_t)v;
+    }
+    static __thread Lut clen_lut;
+    if ((err = build_lut(clen_lens, 19, &clen_lut))) return err;
+
+    uint8_t lens[288 + 32];
+    int total = nlit + ndist;
+    int i = 0, prev = -1;
+    while (i < total) {
+        int s;
+        if ((err = decode_sym(b, &clen_lut, &s))) return err;
+        if (s < 16) {
+            lens[i++] = (uint8_t)s;
+            prev = s;
+        } else {
+            int run, val;
+            if (s == 16) {
+                if (prev < 0) return TD_E_NO_PREV_CODE_LEN;
+                if ((err = bi_read(b, 2, &v))) return err;
+                run = 3 + (int)v; val = prev;
+            } else if (s == 17) {
+                if ((err = bi_read(b, 3, &v))) return err;
+                run = 3 + (int)v; val = 0; prev = 0;
+            } else {
+                if ((err = bi_read(b, 7, &v))) return err;
+                run = 11 + (int)v; val = 0; prev = 0;
+            }
+            if (i + run > total) return TD_E_CLEN_OVER_FULL;
+            while (run--) lens[i++] = (uint8_t)val;
+        }
+    }
+    if (lens[256] == 0) return TD_E_EOB_ZERO_LEN;
+    uint8_t ll_lens[288];
+    memset(ll_lens, 0, sizeof ll_lens);
+    memcpy(ll_lens, lens, nlit);
+    if ((err = build_lut(ll_lens, 288, ll_lut))) return err;
+    *ll = ll_lut;
+
+    uint8_t d_lens[32];
+    memset(d_lens, 0, sizeof d_lens);
+    memcpy(d_lens, lens + nlit, ndist);
+    *dist_empty = 0;
+    if (ndist == 1 && d_lens[0] == 0) {
+        *dist_empty = 1;
+        *dd = NULL;
+    } else {
+        int ones = 0, others = 0;
+        for (int k = 0; k < 32; k++) {
+            if (d_lens[k] == 1) ones++;
+            else if (d_lens[k] > 1) others++;
+        }
+        if (ones == 1 && others == 0) d_lens[31] = 1; /* dummy: Open.java:421-425 */
+        if ((err = build_lut(d_lens, 32, d_lut))) return err;
+        *dd = d_lut;
+    }
+    return TD_OK;
+}
+
+static void get_fixed_luts(const Lut **ll, const Lut **dd) {
+    static __thread Lut fixed_ll, fixed_d;
+    static __thread int init = 0;
+    if (!init) {
+        uint8_t lens[288];
+        for (int i = 0; i < 144; i++) lens[i] = 8;
+        for (int i = 144; i < 256; i++) lens[i] = 9;
+        for (int i = 256; i < 280; i++) lens[i] = 7;
+        for (int i = 280; i < 288; i++) lens[i] = 8;
+        build_lut(lens, 288, &fixed_ll);
+        uint8_t dl[32];
+        for (int i = 0; i < 32; i++) dl[i] = 5;
+        build_lut(dl, 32, &fixed_d);
+        init = 1;
+    }
+    *ll = &fixed_ll;
+    *dd = &fixed_d;
+}
+
+/* --- find_sync ----------------------------------------------------- */
+
+/* 17-bit prefilter bitmap: bfinal=0, btype=2 (dynamic), hlit<=29,
+ * hdist<=29. One bit per pattern, 16 KiB, L1-resident. */
+static __thread uint8_t sync_tab[1 << 14];
+static __thread int sync_tab_init = 0;
+
+static void sync_tab_build(void) {
+    memset(sync_tab, 0, sizeof sync_tab);
+    for (uint32_t w = 0; w < (1u << 17); w++) {
+        if ((w & 1) != 0) continue;            /* bfinal must be 0 */
+        if (((w >> 1) & 3) != 2) continue;     /* btype dynamic */
+        if (((w >> 3) & 31) > 29) continue;    /* hlit <= 29 */
+        if (((w >> 8) & 31) > 29) continue;    /* hdist <= 29 */
+        sync_tab[w >> 3] |= (uint8_t)(1u << (w & 7));
+    }
+    sync_tab_init = 1;
+}
+
+/* Counts-only Kraft completeness (exactly full), no LUT fill. */
+static int kraft_exact(const int counts[16], int total, int max_len) {
+    if (total < 2) return 0;
+    long open_slots = 2, remaining = total;
+    for (int l = 1; l <= max_len; l++) {
+        if (counts[l] > open_slots) return 0;
+        open_slots -= counts[l];
+        remaining -= counts[l];
+        if (remaining == 0) break;
+        open_slots *= 2;
+        if (open_slots > (1 << 20)) open_slots = 1 << 20; /* clamp */
+    }
+    return open_slots == 0 || remaining == 0 ? (open_slots == 0) : 0;
+}
+
+/* Cheap header validation without big-LUT fills. Returns TD_OK if the
+ * dynamic header fully parses with exactly-full clen/litlen/dist codes.
+ * b positioned after the 3-bit block header. */
+static int probe_dyn_header(BitIn *b) {
+    int err;
+    uint32_t v, hlit, hdist, hclen;
+    if ((err = bi_read(b, 5, &hlit))) return err;
+    if ((err = bi_read(b, 5, &hdist))) return err;
+    if ((err = bi_read(b, 4, &hclen))) return err;
+    int nlit = (int)hlit + 257, ndist = (int)hdist + 1, nclen = (int)hclen + 4;
+    if (nlit > 286 || ndist > 30) return TD_E_RESERVED_LEN_SYM; /* heuristic */
+    uint8_t clen_lens[19];
+    memset(clen_lens, 0, sizeof clen_lens);
+    int counts7[16] = {0};
+    int total7 = 0;
+    for (int i = 0; i < nclen; i++) {
+        if ((err = bi_read(b, 3, &v))) return err;
+        clen_lens[CLEN_ORDER[i]] = (uint8_t)v;
+        if (v) { counts7[v]++; total7++; }
+    }
+    if (!kraft_exact(counts7, total7, 7)) return TD_E_OVER_FULL;
+    /* tiny 7-bit clen decode table */
+    uint8_t tsym[128], tlen[128];
+    memset(tlen, 0, sizeof tlen);
+    {
+        int next_code[8], code = 0;
+        int cnt[8] = {0};
+        for (int s = 0; s < 19; s++) if (clen_lens[s]) cnt[clen_lens[s]]++;
+        for (int l = 1; l <= 7; l++) { code = (code + cnt[l - 1]) << 1; next_code[l] = code; }
+        for (int s = 0; s < 19; s++) {
+            int l = clen_lens[s];
+            if (!l) continue;
+            int c = next_code[l]++;
+            int rev = 0;
+            for (int k = 0; k < l; k++) rev |= ((c >> k) & 1) << (l - 1 - k);
+            for (int idx = rev; idx < 128; idx += (1 << l)) { tsym[idx] = (uint8_t)s; tlen[idx] = (uint8_t)l; }
+        }
+    }
+    int total = nlit + ndist;
+    int i = 0, prev = -1;
+    int counts15_ll[16] = {0}, total_ll = 0;
+    int counts15_d[16] = {0}, total_d = 0, d_nonzero = 0;
+    uint8_t eob_len = 0;
+    while (i < total) {
+        if (b->reg_bits < 7) bi_fill(b);
+        int l = tlen[b->reg & 127];
+        if (l == 0 || l > b->reg_bits) return TD_E_UNEXPECTED_END;
+        int s = tsym[b->reg & 127];
+        b->reg >>= l; b->reg_bits -= l;
+        int run, val;
+        if (s < 16) { run = 1; val = s; prev = s; }
+        else if (s == 16) {
+            if (prev < 0) return TD_E_NO_PREV_CODE_LEN;
+            if ((err = bi_read(b, 2, &v))) return err;
+            run = 3 + (int)v; val = prev;
+        } else if (s == 17) {
+            if ((err = bi_read(b, 3, &v))) return err;
+            run = 3 + (int)v; val = 0; prev = 0;
+        } else {
+            if ((err = bi_read(b, 7, &v))) return err;
+            run = 11 + (int)v; val = 0; prev = 0;
+        }
+        if (i + run > total) return TD_E_CLEN_OVER_FULL;
+        while (run--) {
+            if (val) {
+                if (i == 256) eob_len = (uint8_t)val;
+                if (i < nlit) { counts15_ll[val]++; total_ll++; }
+                else { counts15_d[val]++; total_d++; d_nonzero++; }
+            }
+            i++;
+        }
+    }
+    if (nlit > 256 && eob_len == 0) return TD_E_EOB_ZERO_LEN;
+    if (!kraft_exact(counts15_ll, total_ll, 15)) return TD_E_OVER_FULL;
+    if (d_nonzero == 0) return TD_OK;              /* empty dist code: legal */
+    if (d_nonzero == 1 && counts15_d[1] == 1) return TD_OK; /* one 1-bit code */
+    if (!kraft_exact(counts15_d, total_d, 15)) return TD_E_OVER_FULL;
+    return TD_OK;
+}
+
+/* Trial decode (count-only, no output) of up to min_syms symbols. */
+static int trial_decode(BitIn *b, const Lut *ll, const Lut *dd, int dist_empty,
+                        int min_syms) {
+    int err;
+    uint32_t v;
+    int64_t op = 0;
+    for (int k = 0; k < min_syms; k++) {
+        int sym;
+        if ((err = decode_sym(b, ll, &sym))) return err;
+        if (sym < 256) { op++; continue; }
+        if (sym == 256) return TD_OK; /* clean EOB */
+        if (sym > 285) return TD_E_RESERVED_LEN_SYM;
+        if ((err = bi_read(b, LEN_EXTRA[sym - 257], &v))) return err;
+        uint32_t run = LEN_BASE[sym - 257] + v;
+        if (dist_empty) return TD_E_EMPTY_DIST_CODE;
+        int dsym;
+        if ((err = decode_sym(b, dd, &dsym))) return err;
+        if (dsym > 29) return TD_E_RESERVED_DIST_SYM;
+        if ((err = bi_read(b, DIST_EXTRA[dsym], &v))) return err;
+        uint32_t dist = DIST_BASE[dsym] + v;
+        if ((int64_t)dist > op + 32768) return TD_E_BEFORE_START;
+        op += run;
+    }
+    return TD_OK;
+}
+
+/* Scan [from_bit, limit_bit) for the first plausible dynamic-block
+ * start; returns the bit offset or -1. */
+int64_t td_find_sync(const uint8_t *in, size_t in_len, int64_t from_bit,
+                     int64_t limit_bit, int min_syms) {
+    if (!sync_tab_init) sync_tab_build();
+    int64_t max_bit = (int64_t)in_len * 8;
+    if (limit_bit > max_bit) limit_bit = max_bit;
+    static __thread Lut ll_lut, d_lut;
+    for (int64_t bit = from_bit; bit < limit_bit; bit++) {
+        size_t byte = (size_t)(bit >> 3);
+        if (byte + 8 > in_len) break;
+        uint64_t w;
+        memcpy(&w, in + byte, 8);
+        uint32_t w17 = (uint32_t)((w >> (bit & 7)) & 0x1FFFF);
+        if (!(sync_tab[w17 >> 3] & (1u << (w17 & 7)))) continue;
+        BitIn b;
+        bi_init_at(&b, in, in_len, bit + 3); /* skip bfinal+btype */
+        if (probe_dyn_header(&b) != TD_OK) continue;
+        /* finalists: full parse + trial decode */
+        bi_init_at(&b, in, in_len, bit + 3);
+        const Lut *ll, *dd;
+        int dist_empty;
+        if (parse_dyn_to_luts(&b, &ll_lut, &d_lut, &ll, &dd, &dist_empty) != TD_OK)
+            continue;
+        if (trial_decode(&b, ll, dd, dist_empty, min_syms) != TD_OK) continue;
+        return bit;
+    }
+    return -1;
+}
+
+/* --- marker-mode segment decode ------------------------------------ */
+
+/* Decode blocks from start_bit until the first block boundary at or
+ * past stop_bit, or the final block, in marker space (u16: 0..255
+ * literal, 256+r = window byte r before segment start, r in [1,32768]).
+ * window_allow: how far back-refs may reach before the segment start
+ * (0 for the true stream head, 32768 for speculative segments).
+ * Returns TD_OK / error; *end_bit = cursor at return (block boundary on
+ * success), *hit_final = decoded the bfinal block. */
+int td_inflate_marker(const uint8_t *in, size_t in_len, int64_t start_bit,
+                      int64_t stop_bit, int64_t window_allow, uint16_t *out,
+                      size_t out_cap, size_t *out_len, int64_t *end_bit,
+                      int *hit_final) {
+    static __thread Lut ll_lut, d_lut;
+    BitIn b;
+    bi_init_at(&b, in, in_len, start_bit);
+    size_t op = 0;
+    int err = TD_OK;
+    uint32_t v;
+    *hit_final = 0;
+    for (;;) {
+        int64_t boundary = bi_bitpos(&b);
+        if (*hit_final || boundary >= stop_bit) {
+            *end_bit = boundary;
+            *out_len = op;
+            return TD_OK;
+        }
+        if ((err = bi_read(&b, 1, &v))) goto fail;
+        int last = (int)v;
+        if ((err = bi_read(&b, 2, &v))) goto fail;
+        int btype = (int)v;
+        if (btype == 3) { err = TD_E_RESERVED_BLOCK_TYPE; goto fail; }
+
+        if (btype == 0) {
+            bi_align(&b);
+            uint32_t len, nlen;
+            if ((err = bi_read(&b, 16, &len))) goto fail;
+            if ((err = bi_read(&b, 16, &nlen))) goto fail;
+            if (len != (nlen ^ 0xFFFFu)) { err = TD_E_LEN_MISMATCH; goto fail; }
+            if (op + len > out_cap) { err = TD_E_OUTPUT_OVERFLOW; goto fail; }
+            uint32_t remaining = len;
+            while (remaining && b.reg_bits >= 8) {
+                out[op++] = (uint16_t)(b.reg & 0xFF);
+                b.reg >>= 8; b.reg_bits -= 8; remaining--;
+            }
+            if (remaining) {
+                if (b.pos + remaining > b.in_len) { err = TD_E_UNEXPECTED_END; goto fail; }
+                for (uint32_t k = 0; k < remaining; k++) out[op + k] = b.in[b.pos + k];
+                op += remaining;
+                b.pos += remaining;
+            }
+            *hit_final = last;
+            continue;
+        }
+
+        const Lut *ll, *dd;
+        int dist_empty = 0;
+        if (btype == 1) {
+            get_fixed_luts(&ll, &dd);
+        } else {
+            if ((err = parse_dyn_to_luts(&b, &ll_lut, &d_lut, &ll, &dd, &dist_empty)))
+                goto fail;
+        }
+        for (;;) {
+            int sym;
+            if ((err = decode_sym(&b, ll, &sym))) goto fail;
+            if (sym < 256) {
+                if (op >= out_cap) { err = TD_E_OUTPUT_OVERFLOW; goto fail; }
+                out[op++] = (uint16_t)sym;
+                continue;
+            }
+            if (sym == 256) break;
+            if (sym > 285) { err = TD_E_RESERVED_LEN_SYM; goto fail; }
+            if ((err = bi_read(&b, LEN_EXTRA[sym - 257], &v))) goto fail;
+            uint32_t run = LEN_BASE[sym - 257] + v;
+            if (dist_empty) { err = TD_E_EMPTY_DIST_CODE; goto fail; }
+            int dsym;
+            if ((err = decode_sym(&b, dd, &dsym))) goto fail;
+            if (dsym > 29) { err = TD_E_RESERVED_DIST_SYM; goto fail; }
+            if ((err = bi_read(&b, DIST_EXTRA[dsym], &v))) goto fail;
+            uint32_t dist = DIST_BASE[dsym] + v;
+            if ((int64_t)dist > (int64_t)op + window_allow) { err = TD_E_BEFORE_START; goto fail; }
+            if (op + run > out_cap) { err = TD_E_OUTPUT_OVERFLOW; goto fail; }
+            if (op >= dist) {
+                /* whole copy stays in-segment: plain LZ77 move (the
+                 * common case everywhere past the first 32 KiB) */
+                if (dist >= run) {
+                    memcpy(out + op, out + op - dist, (size_t)run * 2);
+                } else {
+                    const uint16_t *src = out + op - dist;
+                    uint16_t *dst = out + op;
+                    for (uint32_t k = 0; k < run; k++) dst[k] = src[k];
+                }
+                op += run;
+            } else {
+                for (uint32_t k = 0; k < run; k++) {
+                    int64_t s = (int64_t)op - dist;
+                    /* rel = -s in [1, 32768]; marker m = 255 + rel
+                     * (resolve inverts as rel = m - 255) */
+                    out[op] = s >= 0 ? out[s] : (uint16_t)(255 + (uint32_t)(-s));
+                    op++;
+                }
+            }
+        }
+        *hit_final = last;
+    }
+fail:
+    *end_bit = bi_bitpos(&b);
+    *out_len = op;
+    return err;
+}
+
+/* Substitute markers against the resolved pre-segment window.
+ * win holds win_len bytes immediately before the segment. */
+int td_resolve_markers(const uint16_t *seg, size_t n, const uint8_t *win,
+                       size_t win_len, uint8_t *out) {
+    for (size_t i = 0; i < n; i++) {
+        uint16_t m = seg[i];
+        if (m < 256) {
+            out[i] = (uint8_t)m;
+        } else {
+            uint32_t rel = (uint32_t)m - 255; /* 1..32768 */
+            if (rel > win_len) return TD_E_BEFORE_START;
+            out[i] = win[win_len - rel];
+        }
+    }
+    return TD_OK;
+}

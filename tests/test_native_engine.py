@@ -231,3 +231,89 @@ def test_native_zlib_container():
     bad[-1] ^= 1
     with pytest.raises(DataFormatError):
         native.zlib_decompress_native(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# Block-parallel foreign-stream decode (resync prepass)
+# ---------------------------------------------------------------------------
+
+
+def _big_structured(seed: int, n: int) -> bytes:
+    rng = random.Random(seed)
+    words = [bytes(rng.getrandbits(8) for _ in range(rng.randint(2, 9))) for _ in range(300)]
+    out = bytearray()
+    while len(out) < n:
+        out += rng.choice(words)
+    return bytes(out[:n])
+
+
+@pytest.mark.skipif(not native.available(), reason="native core unavailable")
+def test_parallel_foreign_raw_bit_exact():
+    """inflate_raw_parallel == zlib oracle on a foreign (zlib -9) stream,
+    consumed byte count exact."""
+    import zlib
+
+    data = _big_structured(0, 6 << 20)
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    payload = comp.compress(data) + comp.flush()
+    res = native.inflate_raw_parallel(payload, min_bytes=1 << 20)
+    assert res is not None, "parallel path did not engage"
+    out, consumed = res
+    assert out == data
+    assert consumed == len(payload)
+
+
+@pytest.mark.skipif(not native.available(), reason="native core unavailable")
+def test_parallel_foreign_gzip_end_to_end():
+    """A gzip(1)-style foreign file (pygzip -9) through the native engine:
+    block-parallel, bit-exact, CRC verified."""
+    import gzip as pygzip
+
+    data = _big_structured(1, 6 << 20)
+    gz = pygzip.compress(data, compresslevel=9)
+    assert native.gzip_decompress_native(gz) == data
+
+
+@pytest.mark.skipif(not native.available(), reason="native core unavailable")
+def test_parallel_foreign_corrupt_matches_serial_taxonomy():
+    """Corruption anywhere must produce the same DataFormatError reason the
+    serial path raises (the parallel path falls back on anomaly)."""
+    import gzip as pygzip
+
+    from tpu_deflate.format.errors import DataFormatError
+
+    data = _big_structured(2, 5 << 20)
+    gz = bytearray(pygzip.compress(data, compresslevel=9))
+    for frac in (0.3, 0.6, 0.9):
+        bad = bytearray(gz)
+        bad[int(len(bad) * frac)] ^= 0x5A
+        try:
+            native.gzip_decompress_native(bytes(bad))
+            raised_parallel = None
+        except DataFormatError as e:
+            raised_parallel = e.reason
+        assert raised_parallel is not None, f"corruption at {frac} undetected"
+
+
+@pytest.mark.skipif(not native.available(), reason="native core unavailable")
+def test_parallel_foreign_incompressible_and_stored():
+    """Streams that confuse sync scanning (random data -> stored blocks;
+    level-1 fixed blocks) still decode exactly via handover/fallback."""
+    import gzip as pygzip
+    import os as _os
+
+    data = _os.urandom(5 << 20)  # incompressible: zlib emits stored blocks
+    gz = pygzip.compress(data, compresslevel=9)
+    assert native.gzip_decompress_native(gz) == data
+    data2 = _big_structured(3, 5 << 20)
+    gz2 = pygzip.compress(data2, compresslevel=1)
+    assert native.gzip_decompress_native(gz2) == data2
+
+
+@pytest.mark.skipif(not native.available(), reason="native core unavailable")
+def test_parallel_foreign_zlib_container():
+    import zlib
+
+    data = _big_structured(4, 5 << 20)
+    z = zlib.compress(data, 9)
+    assert native.zlib_decompress_native(z) == data

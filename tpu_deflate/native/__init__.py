@@ -103,6 +103,35 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.td_find_sync.restype = ctypes.c_int64
+        lib.td_find_sync.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.td_inflate_marker.restype = ctypes.c_int
+        lib.td_inflate_marker.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.td_resolve_markers.restype = ctypes.c_int
+        lib.td_resolve_markers.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -173,6 +202,196 @@ def deflate_member_payload(data: bytes, *, max_code_len: int = 12, max_chain: in
     if n == 0 and len(data) > 0:
         raise RuntimeError("native deflate failed")
     return out.raw[:n]
+
+
+# ---------------------------------------------------------------------------
+# Block-parallel foreign-stream decode (rapidgzip-style resync prepass)
+# ---------------------------------------------------------------------------
+
+
+def _find_sync(payload: bytes, from_bit: int, limit_bit: int, min_syms: int = 512) -> int:
+    lib = _load()
+    return int(lib.td_find_sync(payload, len(payload), from_bit, limit_bit, min_syms))
+
+
+# Reusable u16 segment buffers: a fresh multi-MB mmap costs ~1 s of
+# first-touch page faults on this host, an order of magnitude more than
+# the decode itself — so decoded segments borrow from this pool and the
+# stitcher returns them after marker resolution.
+_MARKER_BUFS: list[np.ndarray] = []
+_MARKER_BUFS_LOCK = threading.Lock()
+
+
+def _take_buf(cap: int) -> np.ndarray:
+    with _MARKER_BUFS_LOCK:
+        best = None
+        for i, b in enumerate(_MARKER_BUFS):
+            if b.size >= cap and (best is None or b.size < _MARKER_BUFS[best].size):
+                best = i
+        if best is not None:
+            return _MARKER_BUFS.pop(best)
+    return np.empty(max(cap, 1 << 21), dtype=np.uint16)
+
+
+def _put_buf(buf: np.ndarray) -> None:
+    with _MARKER_BUFS_LOCK:
+        _MARKER_BUFS.append(buf)
+        if len(_MARKER_BUFS) > 8:
+            _MARKER_BUFS.pop(0)
+
+
+def _marker_seg(payload: bytes, start_bit: int, stop_bit: int):
+    """Marker-mode decode of [start_bit -> first boundary >= stop_bit).
+
+    Returns (rc, buf, out_len, end_bit, hit_final); the caller owns buf
+    (pooled — return it with _put_buf). Grows output on overflow.
+    """
+    lib = _load()
+    approx_in = max((stop_bit - start_bit) // 8, 1)
+    cap = max(4 * approx_in, 1 << 20)
+    while True:
+        buf = _take_buf(cap)
+        out_len = ctypes.c_size_t(0)
+        end_bit = ctypes.c_int64(0)
+        hit_final = ctypes.c_int(0)
+        rc = lib.td_inflate_marker(
+            payload,
+            len(payload),
+            start_bit,
+            stop_bit,
+            0 if start_bit == 0 else 32768,
+            buf.ctypes.data_as(ctypes.c_void_p),
+            buf.size,
+            ctypes.byref(out_len),
+            ctypes.byref(end_bit),
+            ctypes.byref(hit_final),
+        )
+        if rc == 100:
+            cap = buf.size * 4
+            _put_buf(buf)
+            continue
+        return rc, buf, int(out_len.value), int(end_bit.value), bool(hit_final.value)
+
+
+def _resolve_markers(seg: np.ndarray, window: bytes) -> bytes | None:
+    lib = _load()
+    out = ctypes.create_string_buffer(seg.size) if seg.size else ctypes.create_string_buffer(1)
+    rc = lib.td_resolve_markers(
+        seg.ctypes.data_as(ctypes.c_void_p), seg.size, window, len(window), out
+    )
+    if rc != 0:
+        return None
+    return out.raw[: seg.size]
+
+
+def inflate_raw_parallel(
+    payload: bytes, *, workers: int | None = None, min_bytes: int = 4 << 20
+) -> tuple[bytes, int] | None:
+    """Block-parallel decode of a foreign raw DEFLATE stream.
+
+    The prepass speculatively locates dynamic-block boundaries
+    (``td_find_sync``), worker threads decode segments concurrently in
+    marker space, and the stitcher adopts a segment only when the serial
+    block-boundary chain lands exactly on its start bit — so the result
+    is bit-exact no matter how good the speculation was (SURVEY.md §2.1
+    "decode-side data parallel"; the seam the reference leaves:
+    ``decomp/Open.java:83-110`` is strictly serial).
+
+    Returns (bytes, consumed) or None when not applicable/anomalous —
+    the caller then falls back to the serial path (which also reproduces
+    the exact reference error taxonomy for malformed streams).
+    """
+    if not available():
+        return None
+    n = len(payload)
+    W = workers if workers is not None else (os.cpu_count() or 2)
+    if n < min_bytes or W < 2:
+        return None
+    nbits = n * 8
+    bounds = [(k * n // W) * 8 for k in range(1, W)]
+    ranges = [
+        (bounds[i], bounds[i + 1] if i + 1 < len(bounds) else nbits)
+        for i in range(len(bounds))
+    ]
+    syncs = list(_pool().map(lambda r: _find_sync(payload, r[0], r[1]), ranges))
+    starts = [0] + sorted({s for s in syncs if s >= 0})
+    stops = starts[1:] + [nbits]
+    segs = list(_pool().map(lambda a: _marker_seg(payload, a[0], a[1]), zip(starts, stops)))
+    seg_by_start = dict(zip(starts, segs))
+
+    # Adopt the chain (serial, cheap — no byte work): a precomputed segment
+    # counts iff the block-boundary walk lands exactly on its start bit.
+    chain: list[tuple[np.ndarray, int, int]] = []  # (buf, length, end_bit)
+    cur = 0
+    done = False
+    try:
+        for _ in range(2 * len(starts) + 16):
+            seg = seg_by_start.pop(cur, None)
+            if seg is None or seg[0] != 0:
+                # mis-sync repair: decode serially from cur to the next sync
+                if seg is not None:
+                    _put_buf(seg[1])
+                nxt = next((s for s in starts if s > cur), nbits)
+                seg = _marker_seg(payload, cur, nxt)
+            rc, buf, length, end_bit, hit_final = seg
+            if rc != 0 or (not hit_final and end_bit <= cur):
+                _put_buf(buf)
+                return None  # real stream anomaly: serial path owns the taxonomy
+            chain.append((buf, length, end_bit))
+            if hit_final:
+                done = True
+                break
+            cur = end_bit
+        if not done:
+            return None
+
+        # Windows (serial, 32 KiB each): markers reference only the 32 KiB
+        # before their segment's start, so window k resolves from the tail
+        # of segment k-1 against window k-1 — small slices, not the bodies.
+        W32 = 32768
+        windows: list[bytes] = [b""]
+        for buf, length, _e in chain[:-1]:
+            prev = windows[-1]
+            if length >= W32:
+                w = _resolve_markers(buf[length - W32 : length], prev)
+            else:
+                whole = _resolve_markers(buf[:length], prev)
+                w = (prev + whole)[-W32:] if whole is not None else None
+            if w is None:
+                return None
+            windows.append(w)
+
+        # Parallel resolution straight into the final buffer at precomputed
+        # offsets — no serial concat, no per-segment output allocs.
+        lengths = [c[1] for c in chain]
+        offsets = [0]
+        for ln in lengths[:-1]:
+            offsets.append(offsets[-1] + ln)
+        total = offsets[-1] + lengths[-1] if chain else 0
+        final = ctypes.create_string_buffer(max(total, 1))
+        base = ctypes.addressof(final)
+        lib = _load()
+
+        def _resolve_at(k: int) -> bool:
+            buf, length, _e = chain[k]
+            win = windows[k]
+            rc = lib.td_resolve_markers(
+                buf[:length].ctypes.data_as(ctypes.c_void_p),
+                length,
+                win,
+                len(win),
+                ctypes.c_void_p(base + offsets[k]),
+            )
+            return rc == 0
+        if not all(_pool().map(_resolve_at, range(len(chain)))):
+            return None
+        end_bit = chain[-1][2]
+        return final.raw[:total], (end_bit + 7) // 8
+    finally:
+        for seg in seg_by_start.values():
+            _put_buf(seg[1])
+        for buf, _l, _e in chain:
+            _put_buf(buf)
 
 
 # ---------------------------------------------------------------------------
@@ -292,13 +511,17 @@ def zlib_decompress_native(data: bytes) -> bytes:
         return zlib_decompress(data)  # host path handles FDICT
     off = stream.tell()
     payload = data[off:]
-    cap = max(8 * len(payload) + 1024, 1 << 20)
-    while True:
-        try:
-            out, consumed = inflate_raw(payload, cap)
-            break
-        except OutputCapacityError:
-            cap *= 4
+    res = inflate_raw_parallel(payload)
+    if res is not None:
+        out, consumed = res
+    else:
+        cap = max(8 * len(payload) + 1024, 1 << 20)
+        while True:
+            try:
+                out, consumed = inflate_raw(payload, cap)
+                break
+            except OutputCapacityError:
+                cap *= 4
     trailer = payload[consumed : consumed + 4]
     if len(trailer) < 4:
         raise DataFormatError(Reason.UNEXPECTED_END_OF_STREAM, "Unexpected end of stream")
@@ -367,13 +590,17 @@ def gzip_decompress_native(data: bytes) -> bytes:
         GzipMetadata.read(stream)
         payload_start = stream.tell()
         payload = data[payload_start:]
-        cap = max(8 * len(payload) + 1024, 1 << 20)
-        while True:
-            try:
-                out, consumed = inflate_raw(payload, cap)
-                break
-            except OutputCapacityError:  # grow and retry; format errors propagate
-                cap *= 4
+        res = inflate_raw_parallel(payload)
+        if res is not None:
+            out, consumed = res
+        else:
+            cap = max(8 * len(payload) + 1024, 1 << 20)
+            while True:
+                try:
+                    out, consumed = inflate_raw(payload, cap)
+                    break
+                except OutputCapacityError:  # grow and retry; format errors propagate
+                    cap *= 4
         trailer = payload[consumed : consumed + 8]
         if len(trailer) < 8:
             raise DataFormatError(Reason.UNEXPECTED_END_OF_STREAM, "Unexpected end of stream")

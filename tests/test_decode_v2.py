@@ -68,22 +68,43 @@ def test_v2_foreign_fallback():
 def test_compaction_property():
     import jax.numpy as jnp
 
+    from tpu_deflate.codec.decode_jax_v2 import COMPACT_T1, compact_tokens_full
+
     rng = np.random.default_rng(0)
     L, B = 2, 4096
     token = rng.integers(0, 1 << 20, (L, B), dtype=np.int32)
-    sizes = rng.integers(1, 5, (L, B), dtype=np.int32)
     reached = rng.random((L, B)) < 0.07
-    tok, sz, counts = compact_tokens(
-        jnp.asarray(token), jnp.asarray(sizes), jnp.asarray(reached), 1024
-    )
-    tok, sz, counts = np.asarray(tok), np.asarray(sz), np.asarray(counts)
+    tok, counts, ovf = compact_tokens(jnp.asarray(token), jnp.asarray(reached))
+    tok, counts = np.asarray(tok), np.asarray(counts)
+    assert not bool(np.asarray(ovf))
     for l in range(L):
         want_t = token[l][reached[l]]
-        want_s = sizes[l][reached[l]]
         c = int(counts[l])
         assert c == want_t.size
         np.testing.assert_array_equal(tok[l, :c], want_t)
-        np.testing.assert_array_equal(sz[l, :c], want_s)
+    # single-level fallback agrees
+    tok2, counts2, _ = compact_tokens_full(jnp.asarray(token), jnp.asarray(reached))
+    tok2, counts2 = np.asarray(tok2), np.asarray(counts2)
+    for l in range(L):
+        c = int(counts[l])
+        np.testing.assert_array_equal(tok2[l, :c], tok[l, :c])
+
+
+def test_compaction_overflow_flag():
+    """Every position valid in one tile -> two-level compaction must flag
+    overflow (and the fallback must still be exact)."""
+    import jax.numpy as jnp
+
+    from tpu_deflate.codec.decode_jax_v2 import compact_tokens_full
+
+    L, B = 1, 2048
+    token = np.arange(B, dtype=np.int32).reshape(L, B) % 250
+    reached = np.ones((L, B), bool)
+    _tok, _counts, ovf = compact_tokens(jnp.asarray(token), jnp.asarray(reached))
+    assert bool(np.asarray(ovf))
+    tok, counts, _ = compact_tokens_full(jnp.asarray(token), jnp.asarray(reached))
+    np.testing.assert_array_equal(np.asarray(tok)[0], token[0])
+    assert int(np.asarray(counts)[0]) == B
 
 
 def test_v2_decodes_continuous_effort5_no_fallback():

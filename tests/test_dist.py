@@ -110,7 +110,7 @@ def test_graft_entry_single_and_multi():
     fn, args = mod.entry()
     out = fn(*args)
     jax.block_until_ready(out)
-    delta, adv, token, sizes, errc = out
+    delta, token = out
     from tpu_deflate.codec.decode_jax_v2 import SENT_EOB
 
     # bit 3 of each lane starts the EOB code of the fixed block

@@ -70,13 +70,25 @@ from .decode_jax import _dist_base_extra, _run_base_extra
 W_TILE = 64  # bits per tile (small tiles minimize scan dispatch overhead)
 ENTRY_WIN = 48  # max bits one symbol group consumes (15+5+15+13)
 MAX_CODE_LEN = 15  # full RFC 1951 range
-SENT_EOB = 1 << 20
-SENT_ERR = 1 << 21
+# In-band uint8 delta sentinels: normal advances are 1..48; cursor ranges
+# stay disjoint through stage B's int16 arithmetic (normal exits land in
+# [64, 111], EOB in [127, 190], ERR in [255, 318]).
+SENT_EOB = 127
+SENT_ERR = 255
 SCAN_UNROLL = 8
+
+# Two-level token compaction: tiles of T1 positions keep their first K1
+# tokens (level 1, int16 displacements), then one global pass runs on the
+# K1/T1-condensed array. A tile with more than K1 chain tokens (avg
+# symbol < T1/K1 bits — degenerate short-code streams only) sets the
+# overflow flag and the driver reruns the wave with the single-level
+# fallback.
+COMPACT_T1 = 512
+COMPACT_K1 = 160
 
 V2_LANE_BATCH = 256  # per-batch overhead (host parse, uploads) amortizes
 V2_L_BUCKETS = (4, 16, 64, V2_LANE_BATCH)
-_P_BUCKETS = (8320, 33280, 66560, 266240)
+_P_BUCKETS = (8320, 33280, 39936, 66560, 266240)
 PAYLOAD_PAD = _P_BUCKETS[-1]
 
 _ERR_END = reason_to_code(Reason.UNEXPECTED_END_OF_STREAM)
@@ -136,23 +148,25 @@ def canonical_tables(lengths: np.ndarray, max_len: int = MAX_CODE_LEN) -> dict:
 
 
 def _litlen_sym_table(syms: np.ndarray) -> np.ndarray:
-    """(L, 288) sorted symbols -> (L, 64, 5) f32 for the one-hot matmul."""
+    """(L, 288) sorted symbols -> (L, 64, 10) bf16 for the one-hot matmul.
+
+    Columns 0..4 hold the low 7 bits (<=127, exact in bf16), columns
+    5..9 the high bits (<=2) — a split that keeps every table value
+    integer-exact in one single-pass bf16 MXU dot (f32 inputs would need
+    Precision.HIGHEST = 6 passes on this hardware for exactness).
+    """
     L = syms.shape[0]
     pad = np.zeros((L, 320), np.int32)
     pad[:, : syms.shape[1]] = syms
-    return pad.reshape(L, 5, 64).transpose(0, 2, 1).astype(np.float32)
+    grid = pad.reshape(L, 5, 64).transpose(0, 2, 1)  # (L, 64, 5)
+    lo = (grid & 127).astype(np.float32)
+    hi = (grid >> 7).astype(np.float32)
+    return np.concatenate([lo, hi], axis=2).astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
 # Device stages
 # ---------------------------------------------------------------------------
-
-
-def _shift_left(arr: jnp.ndarray, d: int, fill) -> jnp.ndarray:
-    """arr[:, p] -> arr[:, p+d] with fill on the right (axis 1)."""
-    L = arr.shape[0]
-    pad = jnp.full((L, d), fill, dtype=arr.dtype)
-    return jnp.concatenate([arr[:, d:], pad], axis=1)
 
 
 def _canon_decode(w, first, base, count):
@@ -178,28 +192,31 @@ def _canon_decode(w, first, base, count):
 
 
 def _sym_lookup_320(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """tbl (L, 64, 5) f32, idx (L, B) int32 in [0, 320) -> (L, B) int32.
+    """tbl (L, 64, 10) bf16 split table, idx (L, B) int32 in [0, 320) ->
+    (L, B) int32.
 
-    One-hot over the low 6 index bits rides the MXU; the 5 table rows are
-    picked with a select chain. HIGHEST precision keeps the integer
-    values exact (default f32 matmul truncates to one bf16 pass here).
+    One-hot over the low 6 index bits rides the MXU in a single bf16
+    pass (one-hot entries and both table halves are bf16-exact); the 5
+    row pairs are picked with a select chain and recombined as
+    lo + 128*hi.
     """
-    lo = idx & 63
-    hi = idx >> 6
+    lo6 = idx & 63
+    hi6 = idx >> 6
     oh = (
-        jax.lax.broadcasted_iota(jnp.int32, idx.shape + (64,), idx.ndim) == lo[..., None]
-    ).astype(jnp.float32)
+        jax.lax.broadcasted_iota(jnp.int32, idx.shape + (64,), idx.ndim) == lo6[..., None]
+    ).astype(jnp.bfloat16)
     rows = jax.lax.dot_general(
         oh,
         tbl,
         (((2,), (1,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )  # (L, B, 5)
-    out = jnp.zeros(idx.shape, jnp.float32)
+    )  # (L, B, 10)
+    out_lo = jnp.zeros(idx.shape, jnp.float32)
+    out_hi = jnp.zeros(idx.shape, jnp.float32)
     for h in range(5):
-        out = jnp.where(hi == h, rows[..., h], out)
-    return out.astype(jnp.int32)
+        out_lo = jnp.where(hi6 == h, rows[..., h], out_lo)
+        out_hi = jnp.where(hi6 == h, rows[..., 5 + h], out_hi)
+    return out_lo.astype(jnp.int32) | (out_hi.astype(jnp.int32) << 7)
 
 
 def _sym_select32(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -226,16 +243,14 @@ def stage_a(
 ):
     """Per-bit-position speculative decode.
 
-    Returns (delta, adv, token, sizes, errc), all (L, B):
-    - delta: bits consumed by the symbol group at each position (1..48),
-      or SENT_EOB / SENT_ERR;
-    - adv: the raw bit advance (valid at EOB positions, where delta is a
-      sentinel — used to compute the EOB exit bit for block chaining);
-    - token: literal byte, or TOKEN_MATCH_BIT|run<<16|(dist-1); -1 at EOB;
-    - sizes: output bytes produced (1 / run / 0);
-    - errc: precedence-ordered Reason code if decoding at this position
-      fails (0 = fine) — exactly the order the reference's serial reads
-      would trip (``decomp/Open.java:516-593``).
+    Returns (delta, token), both (L, B):
+    - delta (uint8): bits consumed by the symbol group at each position
+      (1..48), or SENT_EOB (127) / SENT_ERR (255);
+    - token (int32): literal byte in [0,256); TOKEN_MATCH_BIT|run<<16|
+      (dist-1) for matches; -(1+eob_code_len) at EOB positions (stage E
+      recovers the exit bit for block chaining); -(100+reason_code) at
+      error positions, precedence-ordered exactly as the reference's
+      serial reads would trip (``decomp/Open.java:516-593``).
     """
     L, P = payload.shape
     B = P * 8
@@ -307,72 +322,75 @@ def stage_a(
     errc = _set(errc, is_match & (end_all > bits), _ERR_END)
 
     adv = jnp.where(is_match, end_all, end_len) - pos
-    delta = jnp.where(errc != 0, SENT_ERR, jnp.where(is_eob, SENT_EOB, adv))
+    delta = jnp.where(errc != 0, SENT_ERR, jnp.where(is_eob, SENT_EOB, adv)).astype(
+        jnp.uint8
+    )
 
     token = jnp.where(
         is_lit,
         sym,
         TOKEN_MATCH_BIT | (jnp.clip(run, 3, 258) << 16) | jnp.clip(dist - 1, 0, 65535),
     )
-    token = jnp.where(is_eob, -1, token)
-    sizes = jnp.where(is_lit, 1, jnp.where(is_match, jnp.clip(run, 3, 258), 0))
-    return delta, adv, token, sizes, errc
+    token = jnp.where(is_eob, -(1 + ln), token)
+    token = jnp.where(errc != 0, -(100 + errc), token)
+    return delta, token
 
 
 @jax.jit
 def stage_b_transfers(delta_tiles: jnp.ndarray):
-    """delta_tiles (L, NT, W) int32 -> transfers (L, NT, ENTRY_WIN) int32.
+    """delta_tiles (L, NT, W) uint8 -> transfers (L, NT, ENTRY_WIN) uint8.
 
     transfer[e] = exit offset into the next tile in [0, ENTRY_WIN), or
     SENT_EOB / SENT_ERR. ENTRY_WIN cursors advance in lock-step over the
-    W tile bit positions; a cursor that jumps past W-1 freezes (steps
-    only fire for s < W), so its final value - W is the entry offset of
-    the next tile.
+    W tile bit positions in int16 (cursor ranges stay disjoint: normal
+    exits [W, W+47], EOB [127, 190], ERR [255, 318]); a cursor that
+    jumps past W-1 freezes (steps only fire for s < W).
     """
     L, NT, W = delta_tiles.shape
-    xs = jnp.moveaxis(delta_tiles, 2, 0)  # (W, L, NT)
+    xs = jnp.moveaxis(delta_tiles, 2, 0)  # (W, L, NT) uint8
 
     init = jnp.broadcast_to(
-        jnp.arange(ENTRY_WIN, dtype=jnp.int32)[None, None, :], (L, NT, ENTRY_WIN)
-    ).astype(jnp.int32)
+        jnp.arange(ENTRY_WIN, dtype=jnp.int16)[None, None, :], (L, NT, ENTRY_WIN)
+    ).astype(jnp.int16)
 
     def step(cur, d_s):
         d, s = d_s
         at = cur == s
-        adv = jnp.where(at, d[:, :, None], 0)
+        adv = jnp.where(at, d.astype(jnp.int16)[:, :, None], jnp.int16(0))
         return cur + adv, None
 
-    svals = jnp.arange(W, dtype=jnp.int32)
+    svals = jnp.arange(W, dtype=jnp.int16)
     cur, _ = jax.lax.scan(step, init, (xs, svals), unroll=SCAN_UNROLL)
-    out = cur - W
-    out = jnp.where(cur >= SENT_ERR, SENT_ERR, jnp.where(cur >= SENT_EOB, SENT_EOB, out))
-    return out
+    out = jnp.where(
+        cur >= 255, jnp.int16(SENT_ERR), jnp.where(cur >= 127, jnp.int16(SENT_EOB), cur - W)
+    )
+    return out.astype(jnp.uint8)
 
 
 @jax.jit
 def stage_c_entries(transfers: jnp.ndarray, entry0: jnp.ndarray):
     """Compose transfers over tiles; entry offset of every tile + final state.
 
-    transfers (L, NT, ENTRY_WIN); entry0 (L,) in [0, ENTRY_WIN). Returns
-    entries (L, NT) (value in [0, ENTRY_WIN) or sentinel) and the final
-    state (L,): SENT_EOB (clean), SENT_ERR (decode error), or a small
-    offset (ran off the payload without EOB).
+    transfers (L, NT, ENTRY_WIN) uint8; entry0 (L,) in [0, ENTRY_WIN).
+    Returns entries (L, NT) uint8 (value in [0, ENTRY_WIN) or sentinel)
+    and the final state (L,): SENT_EOB (clean), SENT_ERR (decode error),
+    or a small offset (ran off the payload without EOB).
     """
     L, NT, E = transfers.shape
 
     def compose(a, b):
         # c[e] = a[e] terminal ? a[e] : b[a[e]]
-        out = jnp.full_like(a, SENT_ERR)
+        out = jnp.full_like(a, jnp.uint8(SENT_ERR))
         for j in range(E):
             out = jnp.where(a == j, b[..., j : j + 1], out)
         out = jnp.where(a >= SENT_EOB, a, out)
         return out
 
     prefix = jax.lax.associative_scan(compose, transfers, axis=1)  # inclusive
-    applied = jnp.full((L, NT), SENT_ERR, dtype=jnp.int32)
+    applied = jnp.full((L, NT), SENT_ERR, dtype=jnp.uint8)
     for j in range(E):
         applied = jnp.where(entry0[:, None] == j, prefix[:, :, j], applied)
-    entries = jnp.concatenate([entry0[:, None], applied[:, :-1]], axis=1)
+    entries = jnp.concatenate([entry0.astype(jnp.uint8)[:, None], applied[:, :-1]], axis=1)
     final = applied[:, -1]
     return entries, final
 
@@ -382,13 +400,13 @@ def stage_d_reached(delta_tiles: jnp.ndarray, entries: jnp.ndarray):
     """Replay the true chain: one cursor per tile -> reached bitmap."""
     L, NT, W = delta_tiles.shape
     xs = jnp.moveaxis(delta_tiles, 2, 0)
-    svals = jnp.arange(W, dtype=jnp.int32)
-    cur0 = jnp.where(entries < ENTRY_WIN, entries, SENT_ERR + SENT_EOB)
+    svals = jnp.arange(W, dtype=jnp.int16)
+    cur0 = jnp.where(entries < ENTRY_WIN, entries, jnp.uint8(254)).astype(jnp.int16)
 
     def step(cur, d_s):
         d, s = d_s
         at = cur == s
-        cur = cur + jnp.where(at, d, 0)
+        cur = cur + jnp.where(at, d.astype(jnp.int16), jnp.int16(0))
         return cur, at
 
     _, reached = jax.lax.scan(step, cur0, (xs, svals), unroll=SCAN_UNROLL)
@@ -397,59 +415,100 @@ def stage_d_reached(delta_tiles: jnp.ndarray, entries: jnp.ndarray):
 
 @jax.jit
 def stage_e_summary(
-    delta: jnp.ndarray,  # (L, B)
-    adv: jnp.ndarray,
-    errc: jnp.ndarray,
-    sizes: jnp.ndarray,
+    delta: jnp.ndarray,  # (L, B) uint8
+    token: jnp.ndarray,  # (L, B) int32
     reached: jnp.ndarray,  # (L, B) bool
 ):
     """Terminal facts of the replayed chain (all small reductions).
 
     Returns (has_eob, eob_exit_bit, err_code, out_total): the chain
     reaches at most one terminal position, so masked sums are exact.
+    EOB code length and error Reason come out of the token encoding
+    (-(1+len) / -(100+code)).
     """
     B = delta.shape[1]
     pos = jnp.arange(B, dtype=jnp.int32)[None, :]
     eob_hit = reached & (delta == SENT_EOB)
     has_eob = eob_hit.any(axis=1)
-    eob_exit = jnp.sum(jnp.where(eob_hit, pos + adv, 0), axis=1)
+    eob_exit = jnp.sum(jnp.where(eob_hit, pos + (-token - 1), 0), axis=1)
     err_hit = reached & (delta == SENT_ERR)
-    err_code = jnp.sum(jnp.where(err_hit, errc, 0), axis=1)
+    err_code = jnp.sum(jnp.where(err_hit, -token - 100, 0), axis=1)
     valid = reached & (delta < SENT_EOB)
+    is_lit = valid & (token < 256)
+    sizes = jnp.where(is_lit, 1, (token >> 16) & 0x3FF)
     out_total = jnp.sum(jnp.where(valid, sizes, 0), axis=1)
     return has_eob, eob_exit, err_code, out_total
 
 
-@functools.partial(jax.jit, static_argnames=("t_cap",))
-def compact_tokens(token: jnp.ndarray, sizes: jnp.ndarray, valid: jnp.ndarray, t_cap: int):
-    """Gather/scatter-free stream compaction of valid tokens.
+def _shift_left_ax(arr: jnp.ndarray, d: int, fill, axis: int) -> jnp.ndarray:
+    """arr[..., p] -> arr[..., p+d] with fill on the right along axis."""
+    pad_shape = list(arr.shape)
+    pad_shape[axis] = d
+    pad = jnp.full(pad_shape, fill, dtype=arr.dtype)
+    idx = [slice(None)] * arr.ndim
+    idx[axis] = slice(d, None)
+    return jnp.concatenate([arr[tuple(idx)], pad], axis=axis)
 
-    token/sizes (L, B); valid (L, B) bool (caller excludes EOB/error
-    positions). Returns (tokens (L, t_cap), sizes (L, t_cap), counts (L,)).
 
-    Displacement D[p] = p - rank(p) is non-decreasing over valid items, so
-    moving every item left by the set bits of its displacement (low bit to
-    high bit, one shifted select per bit) is collision-free.
+def _compact_rounds(tok, disp, nbits: int, axis: int):
+    """Log-shift displacement moves (collision-free: D[p] = p - rank(p)
+    is non-decreasing over valid items)."""
+    for k in range(nbits):
+        s = 1 << k
+        d_right = _shift_left_ax(disp, s, -1, axis)
+        t_right = _shift_left_ax(tok, s, -1, axis)
+        take = (d_right >= 0) & ((d_right & s) != 0)
+        self_moves = (disp >= 0) & ((disp & s) != 0)
+        disp = jnp.where(take, d_right - s, jnp.where(self_moves, disp.dtype.type(-1), disp))
+        tok = jnp.where(take, t_right, jnp.where(self_moves, -1, tok))
+    return tok, disp
+
+
+@jax.jit
+def compact_tokens(token: jnp.ndarray, valid: jnp.ndarray):
+    """Two-level gather/scatter-free compaction of valid tokens.
+
+    token (L, B) int32; valid (L, B) bool (caller excludes EOB/error
+    positions). Level 1 compacts within COMPACT_T1-position tiles (int16
+    displacements) and keeps COMPACT_K1 slots per tile; level 2 runs the
+    same moves globally on the condensed array. Returns (tokens
+    (L, B*K1/T1), counts (L,), overflow) — overflow set iff some tile
+    had more than K1 chain tokens (rerun with compact_tokens_full).
     """
+    L, B = token.shape
+    T1, K1 = COMPACT_T1, COMPACT_K1
+    NT1 = B // T1
+    v = valid.reshape(L, NT1, T1)
+    tok = jnp.where(valid, token, -1).reshape(L, NT1, T1)
+    rank = jnp.cumsum(v.astype(jnp.int16), axis=2) - 1
+    pos = jnp.arange(T1, dtype=jnp.int16)[None, None, :]
+    disp = jnp.where(v, pos - rank, jnp.int16(-1))
+    tile_counts = rank[:, :, -1] + 1
+    overflow = (tile_counts > K1).any()
+    tok, _ = _compact_rounds(tok, disp, int(np.ceil(np.log2(T1))), axis=2)
+    tok1 = tok[:, :, :K1].reshape(L, NT1 * K1)
+
+    valid2 = tok1 >= 0
+    rank2 = jnp.cumsum(valid2.astype(jnp.int32), axis=1) - 1
+    pos2 = jnp.arange(NT1 * K1, dtype=jnp.int32)[None, :]
+    disp2 = jnp.where(valid2, pos2 - rank2, -1)
+    tok2, _ = _compact_rounds(tok1, disp2, int(np.ceil(np.log2(NT1 * K1))), axis=1)
+    counts = jnp.sum(valid, axis=1)
+    return tok2, counts, overflow
+
+
+@jax.jit
+def compact_tokens_full(token: jnp.ndarray, valid: jnp.ndarray):
+    """Single-level fallback compaction (any token density). Returns
+    (tokens (L, B), counts (L,), overflow=False)."""
     L, B = token.shape
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     pos = jnp.arange(B, dtype=jnp.int32)[None, :]
     disp = jnp.where(valid, pos - rank, -1)
     tok = jnp.where(valid, token, -1)
-    sz = jnp.where(valid, sizes, 0)
-    nbits = int(np.ceil(np.log2(B)))
-    for k in range(nbits):
-        s = 1 << k
-        d_right = _shift_left(disp, s, -1)
-        t_right = _shift_left(tok, s, -1)
-        z_right = _shift_left(sz, s, 0)
-        take = (d_right >= 0) & ((d_right & s) != 0)
-        self_moves = (disp >= 0) & ((disp & s) != 0)
-        disp = jnp.where(take, d_right - s, jnp.where(self_moves, -1, disp))
-        tok = jnp.where(take, t_right, jnp.where(self_moves, -1, tok))
-        sz = jnp.where(take, z_right, jnp.where(self_moves, 0, sz))
+    tok, _ = _compact_rounds(tok, disp, int(np.ceil(np.log2(B))), axis=1)
     counts = jnp.sum(valid, axis=1)
-    return tok[:, :t_cap], sz[:, :t_cap], counts
+    return tok, counts, jnp.asarray(False)
 
 
 # ---------------------------------------------------------------------------
@@ -651,10 +710,12 @@ def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.n
     return w, shift2
 
 
-def _run_wave_device(w: dict):
+def _run_wave_device(w: dict, full_compact: bool = False):
     """Device stages A-E + compaction for one staged wave; returns device
-    arrays (tokens, counts, has_eob, eob_exit, err_code, out_total)."""
-    delta, adv, token, sizes, errc = stage_a(
+    arrays (tokens, counts, has_eob, eob_exit, err_code, out_total,
+    overflow). Designed to be called under one jit (see _run_wave_jit)
+    so the whole wave is a single device dispatch."""
+    delta, token = stage_a(
         w["payload"], w["payload_bits"],
         w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
         w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
@@ -662,18 +723,33 @@ def _run_wave_device(w: dict):
     L, B = delta.shape
     delta_tiles = delta.reshape(L, B // W_TILE, W_TILE)
     transfers = stage_b_transfers(delta_tiles)
-    entries, final = stage_c_entries(transfers, w["rem"])
+    entries, final = stage_c_entries(transfers, w["rem"].astype(jnp.uint8))
     reached = stage_d_reached(delta_tiles, entries).reshape(L, B)
-    has_eob, eob_exit, err_code, out_total = stage_e_summary(delta, adv, errc, sizes, reached)
+    has_eob, eob_exit, err_code, out_total = stage_e_summary(delta, token, reached)
     valid = reached & (delta < SENT_EOB)
-    tokens, _, counts = compact_tokens(token, sizes, valid, B)
-    return tokens, counts, has_eob, eob_exit, err_code, out_total
+    if full_compact:
+        tokens, counts, overflow = compact_tokens_full(token, valid)
+    else:
+        tokens, counts, overflow = compact_tokens(token, valid)
+    return tokens, counts, has_eob, eob_exit, err_code, out_total, overflow
+
+
+_run_wave_jit = jax.jit(_run_wave_device, static_argnames=("full_compact",))
+
+
+def _run_wave_safe(w: dict):
+    return _run_wave_jit(w, full_compact=True)
 
 
 def _run_block_stages(wave, rows, row_bits, hp, truncated, runner=None) -> None:
     w, shift2 = _wave_arrays(rows, row_bits, hp)
-    run = runner if runner is not None else _run_wave_device
-    tokens, counts, has_eob, eob_exit, err_code, out_total = run(w)
+    run = runner if runner is not None else _run_wave_jit
+    run_safe = getattr(runner, "safe", None) or _run_wave_safe
+    tokens, counts, has_eob, eob_exit, err_code, out_total, overflow = run(w)
+    if bool(np.asarray(overflow)):
+        # some tile exceeded the two-level compaction budget (degenerate
+        # short-code stream): redo the wave with single-level compaction
+        tokens, counts, has_eob, eob_exit, err_code, out_total, _ovf = run_safe(w)
     B = rows.shape[1] * 8
 
     # Pull the small vectors first; then only the token columns in use —
@@ -685,7 +761,7 @@ def _run_block_stages(wave, rows, row_bits, hp, truncated, runner=None) -> None:
     total_h = np.asarray(out_total)
     kmax = int(counts_h[: len(wave)].max()) if wave else 0
     bucket = 4096
-    k = min(B, -(-max(kmax, 1) // bucket) * bucket)
+    k = min(tokens.shape[1], -(-max(kmax, 1) // bucket) * bucket)
     tokens_h = np.asarray(tokens[:, :k])
 
     for i, st in enumerate(wave):
@@ -845,10 +921,10 @@ def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 3) -> dict:
     def run_all():
         acc = jnp.zeros((), jnp.int32)
         for w in waves:
-            tokens, counts, has_eob, eob_exit, err_code, out_total = _run_wave_device(w)
+            tokens, counts, has_eob, eob_exit, err_code, out_total, ovf = _run_wave_jit(w)
             acc = acc + jnp.sum(out_total)
             acc = acc + jnp.sum(tokens[:, :: max(1, tokens.shape[1] // 64)])
-            acc = acc + jnp.sum(counts) + jnp.sum(err_code)
+            acc = acc + jnp.sum(counts) + jnp.sum(err_code) + ovf.astype(jnp.int32)
         return np.asarray(acc)  # single pull forces the whole graph
 
     run_all()  # compile + warm
@@ -868,20 +944,26 @@ def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 3) -> dict:
         "note": "device Huffman/token stages only; LZ77 resolve + link excluded",
     }
 
-    # Per-stage breakdown on the first wave (each stage forced separately).
+    # Per-stage breakdown on the first wave. Each stage is timed over
+    # `inner` back-to-back calls with one forcing pull, so the ~30-40 ms
+    # tunnel round-trip latency amortizes out of the per-call figure.
     w = waves[0]
     stages = {}
+    inner = 4
 
     def _t(name, fn, *args):
         out = fn(*args)
         np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.int32)))  # warm
         t0 = time.monotonic()
-        out = fn(*args)
-        np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.int32)))
-        stages[name] = round(time.monotonic() - t0, 4)
+        acc = jnp.zeros((), jnp.int32)
+        for _ in range(inner):
+            out = fn(*args)
+            acc = acc + jnp.sum(jax.tree.leaves(out)[0].astype(jnp.int32))
+        np.asarray(acc)
+        stages[name] = round((time.monotonic() - t0) / inner, 4)
         return out
 
-    delta, adv, token, sizes, errc = _t(
+    delta, token = _t(
         "a", stage_a,
         w["payload"], w["payload_bits"],
         w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
@@ -890,11 +972,11 @@ def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 3) -> dict:
     L, B = delta.shape
     delta_tiles = delta.reshape(L, B // W_TILE, W_TILE)
     transfers = _t("b", stage_b_transfers, delta_tiles)
-    entries, final = _t("c", stage_c_entries, transfers, w["rem"])
+    entries, final = _t("c", stage_c_entries, transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))
     reached = _t("d", stage_d_reached, delta_tiles, entries).reshape(L, B)
-    _t("e", stage_e_summary, delta, adv, errc, sizes, reached)
+    _t("e", stage_e_summary, delta, token, reached)
     valid = reached & (delta < SENT_EOB)
-    _t("compact", functools.partial(compact_tokens, t_cap=B), token, sizes, valid)
+    _t("compact", compact_tokens, token, valid)
     res["stage_seconds_wave0"] = stages
     return res
 

@@ -164,10 +164,17 @@ def sharded_decode(mesh: Mesh, axis: str = "data"):
     def run_tuple(*args):
         return v2._run_wave_device(dict(zip(keys, args)))
 
+    @jax.jit
+    def run_tuple_safe(*args):
+        return v2._run_wave_device(dict(zip(keys, args)), full_compact=True)
+
+    def _args(w: dict):
+        return tuple(jax.device_put(jnp.asarray(w[k]), lane) for k in keys)
+
     def runner(w: dict):
-        args = tuple(jax.device_put(jnp.asarray(w[k]), lane) for k in keys)
-        return run_tuple(*args)
+        return run_tuple(*_args(w))
 
     runner.lane_multiple = n
+    runner.safe = lambda w: run_tuple_safe(*_args(w))
     _SHARDED_DECODE_CACHE[key] = runner
     return runner

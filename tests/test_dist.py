@@ -156,3 +156,72 @@ def test_sharded_decode_bit_exact(mesh):
     bad[len(bad) // 3] ^= 0x11
     with pytest.raises(DataFormatError):
         decompress(bytes(bad), mesh=mesh)
+
+
+def test_init_distributed_gated():
+    """Without a coordinator address (arg or env) the multi-host bring-up
+    is a no-op returning False — single-host runs never hang on it."""
+    import os
+
+    from tpu_deflate.dist.mesh import init_distributed
+
+    for var in ("TD_COORDINATOR", "JAX_COORDINATOR_ADDRESS"):
+        assert os.environ.get(var) is None
+    assert init_distributed() is False
+
+
+def test_preset_dict_broadcast_and_halo(mesh):
+    """zlib FDICT seam: the replicated preset dictionary primes shard 0's
+    halo window; other shards get their ring predecessor's tail."""
+    from tpu_deflate.dist.sharded import broadcast_preset_dict, halo_exchange
+
+    rng = np.random.default_rng(7)
+    d = bytes(rng.integers(0, 256, 1000, dtype=np.uint8))
+    pd = broadcast_preset_dict(d, mesh)
+    shards = rng.integers(0, 256, (8, WINDOW_SIZE + 64), dtype=np.uint8)
+    out = np.asarray(halo_exchange(jnp.asarray(shards), mesh, preset_dict=pd))
+    assert (out[0, : WINDOW_SIZE - 1000] == 0).all()
+    np.testing.assert_array_equal(
+        out[0, WINDOW_SIZE - 1000 : WINDOW_SIZE], np.frombuffer(d, np.uint8)
+    )
+    for i in range(1, 8):
+        np.testing.assert_array_equal(out[i, :WINDOW_SIZE], shards[i - 1, -WINDOW_SIZE:])
+
+
+def test_pod_2d_encode_matches_single_chip():
+    """Lanes sharded over the (host, data) product of a 2-D pod mesh emit
+    bit-identical streams to the unsharded kernel (multi-host DP seam)."""
+    from tpu_deflate.codec import encode_jax as ej
+    from tpu_deflate.dist.mesh import make_pod_mesh
+    from tpu_deflate.dist.sharded import sharded_analyze_emit
+    from tpu_deflate.kernels.huffman import huffman_lengths_batch
+
+    mesh2 = make_pod_mesh(2, 4)
+    rng = np.random.default_rng(3)
+    L, S = 8, 4096
+    data = np.repeat(rng.integers(0, 16, (L, S // 4), dtype=np.uint8), 4, axis=1)
+    lengths = np.full(L, S, dtype=np.int32)
+    hist = np.ones((L, 288), dtype=np.int64)
+    ll_lengths = huffman_lengths_batch(hist, 12)
+    d_hist = np.zeros((L, 30), dtype=np.int64)
+    d_hist[:, :8] = 1
+    d_lengths = huffman_lengths_batch(d_hist, 12)
+    ll_codes = ej._pack_codes(ll_lengths, 12)
+    d_codes = ej._pack_codes(d_lengths, 12)
+    header_vals, header_bits = ej._build_headers(ll_lengths, d_lengths)
+    eob_val = (ll_codes[:, 256] & 0xFFFF).astype(np.uint32)
+    eob_bits = (ll_codes[:, 256] >> 16).astype(np.int32)
+    args = (
+        jnp.asarray(data), jnp.asarray(lengths), jnp.asarray(ll_codes),
+        jnp.asarray(d_codes), jnp.asarray(header_vals), jnp.asarray(header_bits),
+        jnp.asarray(eob_val), jnp.asarray(eob_bits),
+    )
+    words_2d, bits_2d = sharded_analyze_emit(mesh2, ("host", "data"))(*args)
+    a = ej.analyze_device(args[0], args[1], True)
+    flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
+    words_1, bits_1 = ej.emit_device(
+        a["litlen_sym"], flags, a["len_eb"], a["len_ev"], a["dist_sym"],
+        a["dist_eb"], a["dist_ev"], *args[2:],
+    )
+    np.testing.assert_array_equal(np.asarray(bits_2d), np.asarray(bits_1))
+    np.testing.assert_array_equal(np.asarray(words_2d), np.asarray(words_1))

@@ -537,9 +537,13 @@ def decode_tokens_device(
 
     err = jnp.where(reached[:, B + 1], _ERR_END, 0)  # refined below on host
     reached_tok = reached[:, :B] & ~is_eob
-    # First error actually reached: the error code of the reached err pos.
+    # First error actually reached. Error positions are terminal (their
+    # successor is the B+1 sentinel), so the replayed chain contains at
+    # most ONE position with perr != 0 — the max below is therefore
+    # exactly the first error in stream order, matching the reference's
+    # serial precedence (Open.java:516-593).
     perr_reached = jnp.where(reached[:, :B], perr, 0)
-    err_code = jnp.max(perr_reached, axis=1)  # any nonzero reached error
+    err_code = jnp.max(perr_reached, axis=1)  # the single reached error
     err = jnp.where(err != 0, jnp.maximum(err_code, 1), 0)
 
     # Compact reached token positions into (L, T) in stream order.

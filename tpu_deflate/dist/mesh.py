@@ -15,6 +15,51 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_DIST_STATE = {"initialized": False}
+
+
+def init_distributed(
+    *,
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-host runtime bring-up: ``jax.distributed.initialize``.
+
+    Gated so single-host runs never pay for (or hang on) coordinator
+    discovery: runs only when a coordinator address is given explicitly
+    or via the standard env (``TD_COORDINATOR``/``JAX_COORDINATOR_ADDRESS``,
+    with ``TD_NUM_PROCESSES``/``TD_PROCESS_ID``). Returns True iff the
+    distributed runtime is (now) initialized. Idempotent.
+
+    ≙ SURVEY.md §2.2/§5.8: the reference has no communication backend at
+    all; this is the DCN-side bring-up that makes ``make_pod_mesh``
+    meshes span hosts.
+    """
+    import os
+
+    if _DIST_STATE["initialized"]:
+        return True
+    coordinator_address = (
+        coordinator_address
+        or os.environ.get("TD_COORDINATOR")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if not coordinator_address:
+        return False
+    if num_processes is None and os.environ.get("TD_NUM_PROCESSES"):
+        num_processes = int(os.environ["TD_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("TD_PROCESS_ID"):
+        process_id = int(os.environ["TD_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _DIST_STATE["initialized"] = True
+    return True
+
+
 def make_codec_mesh(n_devices: int | None = None, *, axis: str = "data") -> Mesh:
     """1-D mesh over the first n_devices (default: all)."""
     devs = jax.devices()

@@ -29,28 +29,52 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..format.tables import WINDOW_SIZE
 
 
-def halo_exchange(shards: jnp.ndarray, mesh: Mesh, axis: str = "data") -> jnp.ndarray:
+def broadcast_preset_dict(dictionary: bytes, mesh: Mesh) -> jnp.ndarray:
+    """Replicate a zlib preset dictionary (FDICT, ``ZlibMetadata.java:66-75``)
+    across every device of the mesh.
+
+    Returns the last 32 KiB (the only part LZ77 can reach), left-padded
+    with zeros, as a replicated (WINDOW_SIZE,) uint8 array — the SPMD
+    broadcast of SURVEY.md §2.2d.
+    """
+    arr = np.zeros(WINDOW_SIZE, np.uint8)
+    tail = np.frombuffer(dictionary[-WINDOW_SIZE:], dtype=np.uint8)
+    if tail.size:
+        arr[-tail.size :] = tail
+    return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P()))
+
+
+def halo_exchange(
+    shards: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+    preset_dict: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Prepend each shard with the previous shard's last 32 KiB.
 
-    shards: (D, S) uint8, lane d on device d. Returns (D, 32768 + S) with
-    row 0's halo zeroed. Ring ``ppermute`` over ICI (SURVEY.md §2.2c).
+    shards: (D, S) uint8, lane d on device d. Returns (D, 32768 + S).
+    Row 0's halo is the replicated preset dictionary when given (the
+    zlib FDICT seam: the dictionary primes the stream head's window),
+    zeros otherwise. Ring ``ppermute`` over ICI (SURVEY.md §2.2c).
     """
+    if preset_dict is None:
+        preset_dict = jnp.zeros(WINDOW_SIZE, jnp.uint8)
 
-    def body(x):
+    def body(x, d0):
         d = jax.lax.axis_index(axis)
         n = jax.lax.axis_size(axis)
         tail = x[:, -WINDOW_SIZE:]
         perm = [(i, (i + 1) % n) for i in range(n)]
         halo = jax.lax.ppermute(tail, axis, perm)
-        halo = jnp.where(d == 0, jnp.zeros_like(halo), halo)
+        halo = jnp.where(d == 0, jnp.broadcast_to(d0, halo.shape), halo)
         return jnp.concatenate([halo, x], axis=1)
 
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=P(axis, None),
+        in_specs=(P(axis, None), P(None)),
         out_specs=P(axis, None),
-    )(shards)
+    )(shards, preset_dict)
 
 
 def psum_stats(values: jnp.ndarray, mesh: Mesh, axis: str = "data") -> jnp.ndarray:
@@ -97,12 +121,16 @@ def ordered_ragged_gather(
 # ---------------------------------------------------------------------------
 
 
-def sharded_analyze_emit(mesh: Mesh, axis: str = "data"):
+def sharded_analyze_emit(mesh: Mesh, axis: str | tuple = "data"):
     """Build a pjit'd encode step with the lane axis sharded over the mesh.
 
     Returns fn(data (L,S) uint8, lengths (L,)) -> (words, total_bits),
     where L must divide by the mesh size. Lanes are independent, so XLA
     partitions the whole analyze+emit graph without communication.
+
+    ``axis`` may be a tuple (e.g. ``("host", "data")`` on a pod mesh) to
+    shard lanes over the product of both mesh axes — members then split
+    across hosts over DCN and across a host's chips over ICI.
     """
     from ..codec import encode_jax as ej
 

@@ -632,6 +632,15 @@ static inline uint32_t hash4(const uint8_t *p) {
     return (x * 2654435761u) >> (32 - HASH_BITS);
 }
 
+/* 3-byte hash: chains keyed on the minimum match length, so length-3
+ * matches are discoverable (a 4-byte key silently loses every len-3
+ * match; ≙ the reference searches all distances down to minRun=3,
+ * comp/Lz77Huffman.java:71-84). */
+static inline uint32_t hash3(const uint8_t *p) {
+    uint32_t x = (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16);
+    return (x * 2654435761u) >> (32 - HASH_BITS);
+}
+
 /* Core block encoder.
  *
  * in = [history (hist_len bytes) | data (n bytes)], total <= 128 KiB.
@@ -689,11 +698,14 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
     memset(head, -1, sizeof head);
     int ntok = 0;
     size_t i = hist_len;
+    /* zlib-style "nice length": once a match this long is found, stop
+     * walking the chain (derived from max_chain to keep the ABI). */
+    uint32_t nice_len = max_chain <= 8 ? 32 : max_chain <= 64 ? 96 : 258;
 
     #define FIND(ipos, bestlen_out, bestdist_out) do { \
         uint32_t _bl = 0, _bd = 0; \
-        if ((ipos) + 4 <= total) { \
-            uint32_t _h = hash4(in + (ipos)); \
+        if ((ipos) + 3 <= total) { \
+            uint32_t _h = hash3(in + (ipos)); \
             int32_t _c = head[_h]; \
             int _chain = max_chain; \
             uint32_t _lim = total - (ipos) < 258 ? (uint32_t)(total - (ipos)) : 258; \
@@ -711,8 +723,14 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
                     _l += 8; \
                 } \
                 while (_l < _lim && _a[_l] == _b2[_l]) _l++; \
-                if (_l > _bl || (_l == _bl && _d < _bd)) { _bl = _l; _bd = _d; } \
-                if (_l >= _lim) break; \
+                /* cost-aware: a longer match must pay for its extra \
+                 * distance bits (dist extra ~ 2*(log2(d)-2); len gain is \
+                 * ~8 bits/byte of literals saved). Score = 8*len - dbits. */ \
+                uint32_t _db = _d <= 4 ? 0 : (uint32_t)(30 - __builtin_clz(_d - 1) - 2) * 2; \
+                uint32_t _bdb = _bd <= 4 ? 0 : (uint32_t)(30 - __builtin_clz(_bd - 1) - 2) * 2; \
+                int _sc = (int)(_l * 8) - (int)_db, _bsc = (int)(_bl * 8) - (int)_bdb; \
+                if (_bl == 0 || _sc > _bsc || (_sc == _bsc && _d < _bd)) { _bl = _l; _bd = _d; } \
+                if (_l >= _lim || _bl >= nice_len) break; \
                 _c = prevtab[_c]; \
             } \
         } \
@@ -720,8 +738,8 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
     } while (0)
 
     #define INSERT(ipos) do { \
-        if ((ipos) + 4 <= total) { \
-            uint32_t _h = hash4(in + (ipos)); \
+        if ((ipos) + 3 <= total) { \
+            uint32_t _h = hash3(in + (ipos)); \
             prevtab[ipos] = head[_h]; \
             head[_h] = (int32_t)(ipos); \
         } \
@@ -740,7 +758,15 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
             INS_UPTO(i + 1);
             FIND(i + 1, nl, nd);
         }
-        int take = cur_len >= 3 && !(cur_len == 3 && cur_dist > 4096) && cur_len >= nl;
+        /* score-aware lazy: defer to the next position's match only when
+         * its cost-adjusted gain beats the current match plus the literal
+         * byte deferral forces out (~8 bits). Same scoring as FIND. */
+        int cur_sc = (int)(cur_len * 8) -
+                     (cur_dist <= 4 ? 0 : (int)(30 - __builtin_clz(cur_dist - 1) - 2) * 2);
+        int nxt_sc = (int)(nl * 8) -
+                     (nd <= 4 || nl == 0 ? 0 : (int)(30 - __builtin_clz(nd - 1) - 2) * 2);
+        int take = cur_len >= 3 && !(cur_len == 3 && cur_dist > 4096) &&
+                   cur_sc + 8 >= nxt_sc;
         if (take) {
             int s, eb; uint32_t ev;
             run_sym(cur_len, &s, &eb, &ev);
@@ -1335,4 +1361,61 @@ int td_resolve_markers(const uint16_t *seg, size_t n, const uint8_t *win,
         }
     }
     return TD_OK;
+}
+
+/* ------------------------------------------------------------------ */
+/* Reference-semantics oracle tokenizer                                */
+/* ------------------------------------------------------------------ */
+
+/* Serial greedy LZ77 with an exhaustive distance scan — the exact match
+ * semantics of the reference encoder (≙ comp/Lz77Huffman.java:68-130):
+ * all distances in [min_dist, min(max_dist, i)] examined ascending, best
+ * run wins with smallest-distance tie-break (strict > while ascending),
+ * overlapping matches via wraparound, greedy commit, literal iff
+ * best_run < min_run. Used only as the ratio-measurement oracle (the
+ * production encoders use hash chains); O(n * max_dist) by design.
+ *
+ * buf[0..hist_len) is history; tokens cover buf[hist_len..n).
+ * Outputs: tok_pos (relative to hist_len), tok_run (0 = literal),
+ * tok_dist. Returns the token count (<= n - hist_len).
+ */
+size_t td_oracle_tokenize(const uint8_t *buf, size_t n, size_t hist_len,
+                          uint32_t min_run, uint32_t max_run,
+                          uint32_t min_dist, uint32_t max_dist,
+                          int32_t *tok_pos, int32_t *tok_run,
+                          int32_t *tok_dist) {
+    size_t ntok = 0;
+    size_t i = hist_len;
+    while (i < n) {
+        uint32_t best_run = 0, best_dist = 0;
+        if (min_run > 0) {
+            size_t dmax = i < (size_t)max_dist ? i : (size_t)max_dist;
+            for (size_t dist = min_dist; dist <= dmax; dist++) {
+                size_t h = i - dist;
+                uint32_t run = 0;
+                while (run < max_run && i + run < n && buf[h] == buf[i + run]) {
+                    run++;
+                    h++;
+                    if (h == i) h -= dist; /* overlap wraparound */
+                }
+                if (run > best_run) {
+                    best_run = run;
+                    best_dist = (uint32_t)dist;
+                    if (run >= max_run) break; /* no longer match possible */
+                }
+            }
+        }
+        tok_pos[ntok] = (int32_t)(i - hist_len);
+        if (min_run > 0 && best_run >= min_run) {
+            tok_run[ntok] = (int32_t)best_run;
+            tok_dist[ntok] = (int32_t)best_dist;
+            i += best_run;
+        } else {
+            tok_run[ntok] = 0;
+            tok_dist[ntok] = 0;
+            i += 1;
+        }
+        ntok++;
+    }
+    return ntok;
 }

@@ -42,10 +42,14 @@ from .streams.zlib_stream import ZlibReader, ZlibWriter
 __version__ = "0.1.0"
 
 # Effort levels -> strategy compositions (≙ reference preset combinations).
+# Every level >= its reference-preset counterpart on ratio (measured by
+# scripts/ratio_vs_reference.py against the exact=True oracle presets):
+# e1 == RLE_DYNAMIC bit-for-bit; e2+ beat exhaustive-greedy FULL_DYNAMIC
+# via lazy parsing over 3/4/8-byte-hash candidate levels.
 _EFFORT_STRATEGIES = {
     0: StoredStrategy(),
     1: RLE_DYNAMIC,
-    2: FULL_DYNAMIC,
+    2: Lz77HuffmanStrategy(True, lazy=True, max_candidates=16),
     3: Lz77HuffmanStrategy(True, lazy=True, max_candidates=32),
     4: MultiStrategy(
         [StoredStrategy(), Lz77HuffmanStrategy(True, lazy=True, max_candidates=32)]

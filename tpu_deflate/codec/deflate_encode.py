@@ -125,6 +125,7 @@ def _tokenize(
     max_dist: int,
     lazy: bool = False,
     max_candidates: int = 16,
+    exact: bool = False,
 ) -> _TokenStream:
     """LZ77-tokenize buf[history_len:] (window may reach into history)."""
     data = buf[history_len:]
@@ -135,6 +136,15 @@ def _tokenize(
         tok_pos = np.arange(m, dtype=np.int64)
         tok_run = run
         tok_dist = dist
+    elif exact:
+        tok_pos, tok_run, tok_dist = lz77.exact_greedy_tokens(
+            buf,
+            history_len,
+            min_run=min_run,
+            max_run=max_run,
+            min_dist=min_dist,
+            max_dist=max_dist,
+        )
     else:
         run, dist = lz77.find_best_matches(
             buf,
@@ -415,6 +425,10 @@ class Lz77HuffmanStrategy(Strategy):
     max_dist: int = MAX_DIST
     lazy: bool = False
     max_candidates: int = 16
+    # exact=True reproduces the reference's serial greedy matcher verbatim
+    # (exhaustive distance scan, smallest-distance tie-break) — the
+    # ratio-measurement oracle, O(n * max_dist).
+    exact: bool = False
 
     def plan(self, buf: np.ndarray, history_len: int) -> BlockPlan:
         tokens = _tokenize(
@@ -426,6 +440,7 @@ class Lz77HuffmanStrategy(Strategy):
             max_dist=self.max_dist,
             lazy=self.lazy,
             max_candidates=self.max_candidates,
+            exact=self.exact,
         )
         return HuffmanPlan(tokens, self.dynamic)
 

@@ -65,13 +65,15 @@ def compress(
             return td.gzip_compress(data, effort=0, metadata=metadata)
         if effort >= 4:
             # max-ratio mode: one member, continuous 32 KiB history across
-            # blocks (~zlib-9 class); trades away member-parallel decode.
-            chain = 128 if effort == 4 else 512
+            # blocks (beats zlib-9 and the reference's strongest preset
+            # composition on the measured corpora); trades away
+            # member-parallel decode.
+            chain = 512 if effort == 4 else 4096
             out = native.compress_continuous_native(
                 data, block_data=cfg.lookahead, max_chain=chain
             )
         else:
-            chain = {1: 4, 2: 32, 3: 64}[effort]
+            chain = {1: 4, 2: 48, 3: 192}[effort]
             out = native.compress_members_native(
                 data,
                 member_data=cfg.member_data,

@@ -48,6 +48,40 @@ def _hash4(data: np.ndarray, hash_bits: int) -> np.ndarray:
     return (x * HASH_MUL) >> np.uint32(32 - hash_bits)
 
 
+def _hash3(data: np.ndarray, hash_bits: int) -> np.ndarray:
+    """Hash of the 3 bytes at each position — the minimum-match-length
+    level, so length-3 matches are discoverable (a 4-byte key loses every
+    len-3 match)."""
+    n = data.size
+    x = np.zeros(n, dtype=np.uint32)
+    if n >= 3:
+        d = data.astype(np.uint32)
+        x[: n - 2] = d[: n - 2] | (d[1 : n - 1] << np.uint32(8)) | (
+            d[2:n] << np.uint32(16)
+        )
+    return (x * HASH_MUL) >> np.uint32(32 - hash_bits)
+
+
+def _hash8(data: np.ndarray, hash_bits: int) -> np.ndarray:
+    """Hash of the 8 bytes at each position (the long-match level).
+
+    A second candidate level keyed on 8-byte windows surfaces long matches
+    whose nearest 4-byte-prefix twins crowd them out of the short buckets
+    (periodic/structured data with point noise).
+    """
+    n = data.size
+    x = np.zeros(n, dtype=np.uint64)
+    if n >= 8:
+        d = data.astype(np.uint64)
+        acc = np.zeros(n - 7, dtype=np.uint64)
+        for b in range(8):
+            acc |= d[b : n - 7 + b] << np.uint64(8 * b)
+        x[: n - 7] = acc
+    return ((x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - hash_bits)).astype(
+        np.uint32
+    )
+
+
 def find_best_matches(
     data: np.ndarray,
     start: int,
@@ -78,49 +112,51 @@ def find_best_matches(
     if min_dist == 1 and max_dist == 1:
         return _rle_matches(data, start, min_run, max_run)
 
-    h = _hash4(data, hash_bits)
-    # Stable sort by hash groups positions; within a group positions ascend.
-    order = np.argsort(h, kind="stable").astype(np.int64)
-    sorted_h = h[order]
-    group_changed = np.empty(n, dtype=bool)
-    group_changed[0] = True
-    group_changed[1:] = sorted_h[1:] != sorted_h[:-1]
-    # steps_back[i] (in sorted order) limited by group boundary: the rank of
-    # i within its group.
-    group_id = np.cumsum(group_changed) - 1
-    group_first = np.zeros(n, dtype=np.int64)
-    first_idx = np.nonzero(group_changed)[0]
-    group_first = first_idx[group_id]
-    rank = np.arange(n, dtype=np.int64) - group_first
-
     best_run = np.zeros(m, dtype=np.int32)
     best_dist = np.zeros(m, dtype=np.int32)
-
-    # For each position p (sorted index i), candidate k = order[i - k] when
-    # rank >= k. Candidates are previous positions with the same hash,
-    # nearest-first (since within-group order is ascending position).
-    inv_candidates = []
-    for k in range(1, max_candidates + 1):
-        valid = rank >= k
-        cand_sorted = np.where(valid, order[np.maximum(np.arange(n) - k, 0)], -1)
-        cand = np.empty(n, dtype=np.int64)
-        cand[order] = cand_sorted  # candidate positions, indexed by position
-        inv_candidates.append(cand)
-
     pos = np.arange(start, n, dtype=np.int64)
-    for cand_full in inv_candidates:
-        cand = cand_full[start:]
-        dist = pos - cand
-        ok = (cand >= 0) & (dist >= min_dist) & (dist <= max_dist)
-        if not ok.any():
-            continue
-        run = _match_lengths(data, pos, cand, ok, max_run)
-        run = np.where(ok, run, 0)
-        # Prefer longer runs; on ties prefer the earlier candidate (nearest,
-        # since k ascends distance) — i.e. strictly greater replaces.
-        better = run > best_run
-        best_run = np.where(better, run, best_run)
-        best_dist = np.where(better, dist.astype(np.int32), best_dist)
+
+    # Three candidate levels: 3-byte hash (minimum match length — finds
+    # len-3 matches), 4-byte hash (denser buckets for typical matches),
+    # 8-byte hash (long matches that crowd out of the short buckets).
+    # Level hashes are bucket keys only — the scorer verifies every byte.
+    levels = [_hash3(data, hash_bits), _hash4(data, hash_bits)]
+    if n >= 8 and max_candidates >= 8:
+        levels.append(_hash8(data, hash_bits))
+
+    for h in levels:
+        # Stable sort by hash groups positions; within a group positions
+        # ascend, so the k-th predecessor in the bucket is the k-nearest
+        # earlier position with the same key.
+        order = np.argsort(h, kind="stable").astype(np.int64)
+        sorted_h = h[order]
+        group_changed = np.empty(n, dtype=bool)
+        group_changed[0] = True
+        group_changed[1:] = sorted_h[1:] != sorted_h[:-1]
+        group_id = np.cumsum(group_changed) - 1
+        first_idx = np.nonzero(group_changed)[0]
+        group_first = first_idx[group_id]
+        rank = np.arange(n, dtype=np.int64) - group_first
+
+        for k in range(1, max_candidates + 1):
+            valid = rank >= k
+            cand_sorted = np.where(valid, order[np.maximum(np.arange(n) - k, 0)], -1)
+            cand_full = np.empty(n, dtype=np.int64)
+            cand_full[order] = cand_sorted  # candidate position, by position
+            cand = cand_full[start:]
+            dist = pos - cand
+            ok = (cand >= 0) & (dist >= min_dist) & (dist <= max_dist)
+            if not ok.any():
+                continue
+            run = _match_lengths(data, pos, cand, ok, max_run)
+            run = np.where(ok, run, 0)
+            # Prefer longer runs; on ties prefer the nearer candidate (k
+            # ascends distance within a level; across levels, keep the
+            # incumbent unless strictly longer, then fix up equal-run
+            # smaller-distance below).
+            better = (run > best_run) | ((run == best_run) & (run > 0) & (dist < best_dist))
+            best_run = np.where(better, run, best_run)
+            best_dist = np.where(better, dist.astype(np.int32), best_dist)
 
     best_run = np.where(best_run >= min_run, best_run, 0)
     best_dist = np.where(best_run > 0, best_dist, 0)
@@ -237,3 +273,77 @@ def parse_tokens(
     token_run = use[token_pos].astype(np.int32)
     token_dist = np.where(token_run > 0, dist[token_pos], 0).astype(np.int32)
     return token_pos, token_run, token_dist
+
+
+def exact_greedy_tokens(
+    buf: np.ndarray,
+    start: int,
+    *,
+    min_run: int,
+    max_run: int,
+    min_dist: int,
+    max_dist: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference-semantics serial greedy tokenizer — the ratio oracle.
+
+    Exhaustive distance scan per visited position with smallest-distance
+    tie-break, overlap wraparound, greedy commit, literal iff best run <
+    ``min_run`` (≙ ``comp/Lz77Huffman.java:68-130``). O(n * max_dist):
+    only for measuring "compressed size <= reference at equivalent
+    effort", never a production path. Uses the native C core when built;
+    the NumPy fallback vectorizes the distance scan per position.
+    """
+    try:
+        from .. import native
+
+        if native.available():
+            return native.oracle_tokenize(
+                buf,
+                start,
+                min_run=min_run,
+                max_run=max_run,
+                min_dist=min_dist,
+                max_dist=max_dist,
+            )
+    except Exception:
+        pass
+
+    n = buf.size
+    pos_l: list[int] = []
+    run_l: list[int] = []
+    dist_l: list[int] = []
+    i = start
+    while i < n:
+        best_run = 0
+        best_dist = 0
+        dmax = min(i, max_dist)
+        if min_run > 0 and dmax >= min_dist:
+            cap = min(max_run, n - i)
+            dists = np.arange(min_dist, dmax + 1)
+            # Candidate source rows: for overlap (dist < cap) the source
+            # repeats with period dist — build each row explicitly.
+            runs = np.zeros(dists.size, np.int64)
+            for k, d in enumerate(dists):
+                src = buf[i - d : i - d + cap]
+                if src.size < cap:  # overlapping match: tile the window
+                    reps = -(-cap // d)
+                    src = np.tile(buf[i - d : i], reps)[:cap]
+                neq = np.nonzero(src != buf[i : i + cap])[0]
+                runs[k] = neq[0] if neq.size else cap
+            k = int(np.argmax(runs))  # first max = smallest distance
+            best_run = int(runs[k])
+            best_dist = int(dists[k])
+        pos_l.append(i - start)
+        if best_run >= min_run and min_run > 0:
+            run_l.append(best_run)
+            dist_l.append(best_dist)
+            i += best_run
+        else:
+            run_l.append(0)
+            dist_l.append(0)
+            i += 1
+    return (
+        np.asarray(pos_l, np.int64),
+        np.asarray(run_l, np.int32),
+        np.asarray(dist_l, np.int32),
+    )

@@ -132,6 +132,19 @@ def _load():
             ctypes.c_size_t,
             ctypes.c_void_p,
         ]
+        lib.td_oracle_tokenize.restype = ctypes.c_size_t
+        lib.td_oracle_tokenize.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_uint,
+            ctypes.c_uint,
+            ctypes.c_uint,
+            ctypes.c_uint,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -191,6 +204,35 @@ def resolve_tokens(tokens: np.ndarray, out_cap: int) -> bytes:
         raise OutputCapacityError("output capacity too small")
     check_device_error(rc)
     return out.raw[: out_len.value]
+
+
+def oracle_tokenize(
+    buf: np.ndarray,
+    hist_len: int,
+    *,
+    min_run: int,
+    max_run: int,
+    min_dist: int,
+    max_dist: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Reference-semantics greedy tokenizer (exhaustive distance scan,
+    smallest-distance tie-break; ≙ comp/Lz77Huffman.java:68-130). The
+    ratio-measurement oracle — O(n * max_dist), not a production path.
+    Returns (tok_pos, tok_run, tok_dist); tok_run == 0 marks a literal."""
+    lib = _load()
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    m = buf.size - hist_len
+    pos = np.empty(max(m, 1), np.int32)
+    run = np.empty(max(m, 1), np.int32)
+    dist = np.empty(max(m, 1), np.int32)
+    ntok = lib.td_oracle_tokenize(
+        buf.ctypes.data_as(ctypes.c_char_p), buf.size, hist_len,
+        min_run, max_run, min_dist, max_dist,
+        pos.ctypes.data_as(ctypes.c_void_p),
+        run.ctypes.data_as(ctypes.c_void_p),
+        dist.ctypes.data_as(ctypes.c_void_p),
+    )
+    return pos[:ntok], run[:ntok], dist[:ntok]
 
 
 def deflate_member_payload(data: bytes, *, max_code_len: int = 12, max_chain: int = 32) -> bytes:

@@ -1,0 +1,265 @@
+"""Pallas TPU kernels for the v2 decoder's cursor stages.
+
+The XLA twins in :mod:`decode_jax_v2` express the per-tile cursor scans
+(stage B transfer functions, stage D chain replay) as ``lax.scan`` over
+bit positions: every step is a separate fused op over HBM-resident
+state, so the scans run far below VPU speed and force small tiles
+(W_TILE=64) to keep scan overhead down — which in turn blows up the
+stage-C compose (one transfer map per tile).
+
+These kernels keep the cursor state and the whole tile in VMEM:
+
+- ``stage_b_pallas``: 48 lock-step cursors advance over W=512-bit tiles
+  entirely in registers/VMEM; one HBM read of the delta tile, one HBM
+  write of the 48-entry transfer map. 8x fewer tiles make stage C's
+  associative compose 8x cheaper for free.
+- ``stage_dc_pallas``: replays the true chain per tile (one cursor),
+  marks reached positions, and — in the same VMEM residency — computes
+  the level-1 token compaction (rank via log-shift cumsum, collision-free
+  displacement moves, ``pltpu.roll`` + masks instead of dynamic slices)
+  plus the per-tile summary partials that stage E previously recomputed
+  from full-width arrays (EOB/error hits, decoded-size sums).
+
+Sentinel encoding: delta values are 1..48 (bits consumed), 127 (EOB) or
+255 (error) as produced by stage A. In-kernel, EOB advances the cursor
+by +4096 and ERR by +8192, so terminal cursors freeze (they exceed every
+remaining step index) and the three exit classes stay disjoint in int32:
+normal [W, W+47], EOB [4096, 4607], ERR [8192, 8703].
+
+Mosaic constraints honored (measured on this backend): dynamic slices
+only on the sublane axis at multiples of 8 (``pl.multiple_of`` + 8-row
+blocks with a static inner unroll), no gathers, ≥2D iota, lane axis kept
+at 64/128 multiples.
+
+≙ reference semantics: the cursor walk is ``decomp/Open.java:479-563``'s
+symbol loop with the bit cursor replaced by position-indexed jumps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import jax_setup  # noqa: F401
+
+W_P = 512  # tile width in bits for the pallas path
+E_WIN = 48  # entry offsets tracked per tile (max bits of one symbol group)
+K1 = 256  # level-1 compacted token slots per tile
+CT = 64  # tiles per kernel block (lane axis)
+_EOB_ADV = 4096
+_ERR_ADV = 8192
+
+# Payload byte buckets for the pallas path: multiples of 4096 so the
+# per-lane tile count NT = P/64 is a multiple of CT=64.
+P_BUCKETS_PALLAS = (8192, 16384, 24576, 32768, 40960, 65536, 262144, 1048576)
+
+
+def _adv_from_delta(d):
+    """Map stage-A delta encoding to cursor advances (int32)."""
+    return jnp.where(d == 127, _EOB_ADV, jnp.where(d == 255, _ERR_ADV, d))
+
+
+# ---------------------------------------------------------------------------
+# Stage B: per-tile transfer functions
+# ---------------------------------------------------------------------------
+
+
+def _stage_b_kernel(d_ref, out_ref):
+    """d_ref (1, W, CT) int32 deltas; out_ref (1, E_WIN+16, CT) int32.
+
+    Cursor e starts at entry offset e; after the walk, out[e] is the exit
+    offset into the next tile in [0, 48), or 127 (EOB) / 255 (error),
+    matching the uint8 transfer convention of the XLA stage C.
+    """
+    cur = jax.lax.broadcasted_iota(jnp.int32, (E_WIN + 16, CT), 0)
+
+    def body(s8, cur):
+        base = pl.multiple_of(s8 * 8, 8)
+        blk = d_ref[0, pl.ds(base, 8), :]
+        for k in range(8):
+            adv = _adv_from_delta(blk[k, :])
+            s = base + k
+            cur = cur + jnp.where(cur == s, adv[None, :], 0)
+        return cur
+
+    cur = jax.lax.fori_loop(0, W_P // 8, body, cur)
+    out_ref[0] = jnp.where(
+        cur >= _ERR_ADV, 255, jnp.where(cur >= _EOB_ADV, 127, jnp.clip(cur - W_P, 0, 255))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage D + level-1 compaction + stage-E partials, one kernel
+# ---------------------------------------------------------------------------
+
+# Summary rows in the (1, 8, CT) summary output block.
+ROW_COUNT = 0  # valid tokens in the tile
+ROW_EOB_POS = 1  # in-tile bit offset of a reached EOB (or 0)
+ROW_EOB_TOK = 2  # token value at the EOB position (-(1+len); 0 if none)
+ROW_ERR_TOK = 3  # token value at a reached error position (-(100+code); 0)
+ROW_SIZE_SUM = 4  # uncompressed bytes produced by the tile's tokens
+ROW_EOB_HIT = 5  # 1 if the chain reached EOB inside this tile
+ROW_ERR_HIT = 6  # 1 if the chain reached an error inside this tile
+ROW_OVERFLOW = 7  # 1 if the tile had more than K1 tokens
+
+
+def _cumsum_sublanes(x):
+    """Inclusive cumsum along axis 0 (W_P rows) via log-shift adds."""
+    n = x.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    sh = 1
+    while sh < n:
+        shifted = pltpu.roll(x, shift=sh, axis=0)
+        x = x + jnp.where(rows >= sh, shifted, 0)
+        sh *= 2
+    return x
+
+
+def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref):
+    """Replay + compact one block of CT tiles.
+
+    d_ref/t_ref (1, W, CT) int32 delta/token tiles; e_ref (1, 8, CT)
+    int32 with row 0 = entry offsets (0..47 live, >=127 dead).
+    tok_ref (1, K1, CT) int32 compacted tokens (-1 padding);
+    sum_ref (1, 8, CT) int32 per-tile summary rows (see ROW_*).
+    """
+    entry = e_ref[0, 0, :]
+    cur0 = jnp.where(entry < E_WIN, entry, 100000)
+
+    def body(s8, carry):
+        cur, reached = carry
+        base = pl.multiple_of(s8 * 8, 8)
+        blk = d_ref[0, pl.ds(base, 8), :]
+        rows = []
+        for k in range(8):
+            at = (cur == base + k).astype(jnp.int32)
+            rows.append(at)
+            cur = cur + at * _adv_from_delta(blk[k, :])
+        # accumulate the 8 rows into the reached bitmap via one aligned store
+        blk_rows = jnp.stack(rows, axis=0)  # (8, CT)
+        reached = jax.lax.dynamic_update_slice(reached, blk_rows, (base, 0))
+        return cur, reached
+
+    reached0 = jnp.zeros((W_P, CT), jnp.int32)
+    cur, reached = jax.lax.fori_loop(0, W_P // 8, body, (cur0, reached0))
+
+    d = d_ref[0]  # (W, CT)
+    tok = t_ref[0]
+    is_eob = (d == 127).astype(jnp.int32) * reached
+    is_err = (d == 255).astype(jnp.int32) * reached
+    valid = reached * (d < 127).astype(jnp.int32)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (W_P, CT), 0)
+    sum_ref[0, ROW_EOB_POS, :] = jnp.sum(is_eob * pos, axis=0)
+    sum_ref[0, ROW_EOB_TOK, :] = jnp.sum(is_eob * tok, axis=0)
+    sum_ref[0, ROW_ERR_TOK, :] = jnp.sum(is_err * tok, axis=0)
+    sum_ref[0, ROW_EOB_HIT, :] = jnp.sum(is_eob, axis=0)
+    sum_ref[0, ROW_ERR_HIT, :] = jnp.sum(is_err, axis=0)
+    is_lit = (tok >= 0) & (tok < 256)
+    size = jnp.where(is_lit, 1, (tok >> 16) & 0x3FF)
+    sum_ref[0, ROW_SIZE_SUM, :] = jnp.sum(valid * size, axis=0)
+    counts = jnp.sum(valid, axis=0)
+    sum_ref[0, ROW_COUNT, :] = counts
+    sum_ref[0, ROW_OVERFLOW, :] = (counts > K1).astype(jnp.int32)
+
+    # Level-1 compaction: displacement moves (collision-free since
+    # disp = pos - rank is non-decreasing over valid positions).
+    rank = _cumsum_sublanes(valid) - 1
+    rows = pos
+    disp = jnp.where(valid == 1, rows - rank, -1)
+    tokv = jnp.where(valid == 1, tok, -1)
+    sh = 1
+    while sh < W_P:
+        d_right = pltpu.roll(disp, shift=-sh, axis=0)
+        t_right = pltpu.roll(tokv, shift=-sh, axis=0)
+        in_range = rows < (W_P - sh)
+        d_right = jnp.where(in_range, d_right, -1)
+        t_right = jnp.where(in_range, t_right, -1)
+        take = (d_right >= 0) & ((d_right & sh) != 0)
+        self_mv = (disp >= 0) & ((disp & sh) != 0)
+        disp = jnp.where(take, d_right - sh, jnp.where(self_mv, -1, disp))
+        tokv = jnp.where(take, t_right, jnp.where(self_mv, -1, tokv))
+        sh *= 2
+    tok_ref[0] = tokv[:K1, :]
+
+
+# ---------------------------------------------------------------------------
+# Host-facing wrappers
+# ---------------------------------------------------------------------------
+
+try:  # pallas may be absent on exotic builds; the XLA twins then serve
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_IMPORTED = True
+except Exception:  # pragma: no cover
+    _PALLAS_IMPORTED = False
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stage_b_pallas(delta_t: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """delta_t (L, W_P, NT) int32 -> transfers (L, NT, E_WIN) uint8."""
+    L, W, NT = delta_t.shape
+    assert W == W_P and NT % CT == 0
+    out = pl.pallas_call(
+        _stage_b_kernel,
+        grid=(L, NT // CT),
+        in_specs=[
+            pl.BlockSpec((1, W_P, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, E_WIN + 16, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, E_WIN + 16, NT), jnp.int32),
+        interpret=interpret,
+    )(delta_t)
+    return out[:, :E_WIN, :].transpose(0, 2, 1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stage_dc_pallas(
+    delta_t: jnp.ndarray,  # (L, W_P, NT) int32
+    token_t: jnp.ndarray,  # (L, W_P, NT) int32
+    entries: jnp.ndarray,  # (L, NT) int32 (0..47 live, >=127 dead)
+    *,
+    interpret: bool = False,
+):
+    """Returns (tokens_l1 (L, NT, K1) int32, summary (L, 8, NT) int32)."""
+    L, W, NT = delta_t.shape
+    assert W == W_P and NT % CT == 0
+    ent8 = jnp.broadcast_to(entries[:, None, :], (L, 8, NT)).astype(jnp.int32)
+    tok, summ = pl.pallas_call(
+        _stage_dc_kernel,
+        grid=(L, NT // CT),
+        in_specs=[
+            pl.BlockSpec((1, W_P, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W_P, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, K1, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, K1, NT), jnp.int32),
+            jax.ShapeDtypeStruct((L, 8, NT), jnp.int32),
+        ),
+        interpret=interpret,
+    )(delta_t, token_t, ent8)
+    return tok.transpose(0, 2, 1), summ
+
+
+def pallas_available() -> bool:
+    """True if the pallas kernels should be used on this backend."""
+    import os
+
+    if not _PALLAS_IMPORTED or os.environ.get("TPU_DEFLATE_NO_PALLAS"):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return plat in ("tpu", "axon")

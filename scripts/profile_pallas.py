@@ -1,0 +1,100 @@
+"""Per-stage profile of the pallas wave pipeline on the real chip.
+
+Usage: python scripts/profile_pallas.py [corpus_mb] [lanes]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import make_corpus  # noqa: E402
+from tpu_deflate.codec import decode_jax_v2 as v2  # noqa: E402
+from tpu_deflate.codec import decode_pallas as dp  # noqa: E402
+
+
+def timeit(fn, inner=4, reps=3):
+    np.asarray(jnp.sum(fn().astype(jnp.float32)))  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(inner):
+            acc = acc + jnp.sum(fn().astype(jnp.float32))
+        np.asarray(acc)
+        best = min(best, (time.monotonic() - t0) / inner)
+    return best
+
+
+def main():
+    corpus_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    data = make_corpus(corpus_mb)
+    from tpu_deflate import native
+    from tpu_deflate.codec import decode_jax as dj
+
+    gz = native.compress_members_native(data)
+    buf = np.frombuffer(gz, dtype=np.uint8)
+    members = dj.split_members(buf)
+    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in members][:lanes]
+    w = v2._prep_wave(payloads, lanes, buckets=dp.P_BUCKETS_PALLAS)
+    w = {k: jax.device_put(jnp.asarray(v)) for k, v in w.items()}
+    np.asarray(sum(jnp.sum(x.astype(jnp.int32)) for x in w.values() if hasattr(x, "astype")))
+    payload_mb = sum(len(p) for p in payloads) / 2**20
+    print(f"wave: {lanes} lanes, padded {w['payload'].shape}, real payload {payload_mb:.2f} MiB")
+
+    delta, token = v2.stage_a(
+        w["payload"], w["payload_bits"],
+        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
+        w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
+    )
+    L, B = delta.shape
+    NT = B // dp.W_P
+    dt = delta.astype(jnp.int32).reshape(L, NT, dp.W_P).transpose(0, 2, 1)
+    tt = token.reshape(L, NT, dp.W_P).transpose(0, 2, 1)
+    dt = jax.device_put(dt); tt = jax.device_put(tt)
+    transfers = dp.stage_b_pallas(dt)
+    entries, _final = v2.stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))
+    entries = jax.device_put(entries.astype(jnp.int32))
+    tokc, summ = dp.stage_dc_pallas(dt, tt, entries)
+
+    reshape = jax.jit(lambda d, t: (
+        d.astype(jnp.int32).reshape(L, NT, dp.W_P).transpose(0, 2, 1),
+        t.reshape(L, NT, dp.W_P).transpose(0, 2, 1)))
+
+    stages = {
+        "a": lambda: v2.stage_a(
+            w["payload"], w["payload_bits"],
+            w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
+            w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
+        )[1],
+        "reshape": lambda: reshape(delta, token)[1],
+        "b_pallas": lambda: dp.stage_b_pallas(dt),
+        "c": lambda: v2.stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))[0],
+        "dc_pallas": lambda: dp.stage_dc_pallas(dt, tt, entries)[0],
+        "compact2": lambda: v2.compact_level2(tokc.reshape(L, NT * dp.K1)),
+    }
+    total = 0.0
+    for name, fn in stages.items():
+        t = timeit(fn)
+        total += t
+        print(f"stage {name}: {t*1e3:.2f} ms -> {payload_mb/1024/t:.3f} GB/s")
+    print(f"stage sum: {total*1e3:.1f} ms -> {payload_mb/1024/total:.3f} GB/s payload")
+
+    def full():
+        out = v2._run_wave_pallas(w)
+        return out[1] + out[5]
+
+    t_full = timeit(full)
+    print(f"full pallas wave: {t_full*1e3:.1f} ms -> {payload_mb/1024/t_full:.3f} GB/s payload")
+
+
+if __name__ == "__main__":
+    main()

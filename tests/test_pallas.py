@@ -1,0 +1,169 @@
+"""Pallas kernel correctness (interpret mode on CPU; compiled on TPU).
+
+Differential tests: the pallas cursor kernels against a direct NumPy
+reference of the same tile-transfer semantics, and the full pallas wave
+pipeline against the XLA wave on real profile streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tpu_deflate.codec import decode_jax_v2 as v2  # noqa: E402
+from tpu_deflate.codec import decode_pallas as dp  # noqa: E402
+
+
+def _random_delta(rng, L, B):
+    """Random position-advance array with sprinkled EOB/ERR sentinels."""
+    delta = rng.integers(1, 49, (L, B)).astype(np.uint8)
+    eob = rng.random((L, B)) < 0.002
+    err = rng.random((L, B)) < 0.001
+    delta[eob] = 127
+    delta[err] = 255
+    return delta
+
+
+def _ref_transfers(delta, W):
+    """NumPy reference: per-tile transfer maps (exit offset/127/255)."""
+    L, B = delta.shape
+    NT = B // W
+    out = np.zeros((L, NT, dp.E_WIN), np.uint8)
+    for lane in range(L):
+        for t in range(NT):
+            base = t * W
+            for e in range(dp.E_WIN):
+                p = e
+                while p < W:
+                    d = delta[lane, base + p]
+                    if d == 127:
+                        out[lane, t, e] = 127
+                        break
+                    if d == 255:
+                        out[lane, t, e] = 255
+                        break
+                    p += int(d)
+                else:
+                    out[lane, t, e] = p - W
+    return out
+
+
+def _ref_replay(delta, entries, W):
+    """NumPy reference: reached bitmap from per-tile entries."""
+    L, B = delta.shape
+    NT = B // W
+    reached = np.zeros((L, B), bool)
+    for lane in range(L):
+        for t in range(NT):
+            e = int(entries[lane, t])
+            if e >= dp.E_WIN:
+                continue
+            p = e
+            while p < W:
+                reached[lane, t * W + p] = True
+                d = delta[lane, t * W + p]
+                if d >= 127:
+                    break
+                p += int(d)
+    return reached
+
+
+@pytest.fixture(scope="module")
+def small_wave():
+    rng = np.random.default_rng(7)
+    L, B = 2, dp.W_P * dp.CT  # minimal grid: NT == CT
+    delta = _random_delta(rng, L, B)
+    token = rng.integers(0, 256, (L, B)).astype(np.int32)
+    # matches at ~1/3 of positions
+    m = rng.random((L, B)) < 0.33
+    runs = rng.integers(3, 259, (L, B))
+    dists = rng.integers(0, 1024, (L, B))
+    token = np.where(m, v2.TOKEN_MATCH_BIT | (runs << 16) | dists, token).astype(np.int32)
+    token[delta == 127] = -(1 + 7)
+    token[delta == 255] = -(100 + 13)
+    return delta, token
+
+
+def _to_tiles(a, W):
+    L, B = a.shape
+    NT = B // W
+    return jnp.asarray(a.astype(np.int32)).reshape(L, NT, W).transpose(0, 2, 1)
+
+
+def test_stage_b_pallas_matches_reference(small_wave):
+    delta, _token = small_wave
+    dt = _to_tiles(delta, dp.W_P)
+    got = np.asarray(dp.stage_b_pallas(dt))
+    want = _ref_transfers(delta, dp.W_P)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stage_dc_pallas_matches_reference(small_wave):
+    delta, token = small_wave
+    L, B = delta.shape
+    NT = B // dp.W_P
+    rng = np.random.default_rng(11)
+    entries = rng.integers(0, dp.E_WIN, (L, NT)).astype(np.int32)
+    entries[:, 1::5] = 127  # some dead tiles
+    dt = _to_tiles(delta, dp.W_P)
+    tt = _to_tiles(token, dp.W_P)
+    tokc, summ = dp.stage_dc_pallas(dt, tt, jnp.asarray(entries))
+    tokc, summ = np.asarray(tokc), np.asarray(summ)
+
+    reached = _ref_replay(delta, entries, dp.W_P)
+    valid = reached & (delta < 127)
+    pos_in_tile = np.arange(B) % dp.W_P
+    for lane in range(L):
+        for t in range(NT):
+            sl = slice(t * dp.W_P, (t + 1) * dp.W_P)
+            v = valid[lane, sl]
+            count = int(v.sum())
+            assert summ[lane, dp.ROW_COUNT, t] == count
+            want_toks = token[lane, sl][v]
+            k = min(count, dp.K1)
+            np.testing.assert_array_equal(tokc[lane, t, :k], want_toks[:k])
+            assert (tokc[lane, t, count:] == -1).all() or count > dp.K1
+            eob = reached[lane, sl] & (delta[lane, sl] == 127)
+            assert summ[lane, dp.ROW_EOB_HIT, t] == int(eob.sum())
+            if eob.any():
+                assert summ[lane, dp.ROW_EOB_POS, t] == int(pos_in_tile[sl][eob][0])
+                assert summ[lane, dp.ROW_EOB_TOK, t] == int(token[lane, sl][eob][0])
+            err = reached[lane, sl] & (delta[lane, sl] == 255)
+            assert summ[lane, dp.ROW_ERR_HIT, t] == int(err.sum())
+            toks = token[lane, sl][v]
+            sizes = np.where(toks < 256, 1, (toks >> 16) & 0x3FF)
+            sizes = np.where(toks >= 0, sizes, 0)
+            # valid excludes EOB/ERR so toks >= 0 always
+            assert summ[lane, dp.ROW_SIZE_SUM, t] == int(sizes.sum())
+
+
+def test_pallas_wave_matches_xla_wave():
+    """Full pipeline differential on real profile streams."""
+    from tpu_deflate.codec.profile import profile_compress_host
+
+    rng = np.random.default_rng(3)
+    words = [rng.integers(97, 123, rng.integers(2, 9), dtype=np.uint8) for _ in range(50)]
+    data = np.concatenate([words[i] for i in rng.integers(0, 50, 40000)]).tobytes()[:150000]
+    gz = profile_compress_host(data)
+    from tpu_deflate.codec import decode_jax as dj
+
+    buf = np.frombuffer(gz, dtype=np.uint8)
+    members = dj.split_members(buf)
+    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in members]
+    w = v2._prep_wave(payloads, 4, buckets=dp.P_BUCKETS_PALLAS)
+
+    ref = [np.asarray(x) for x in v2._run_wave_unfused(w)]
+    got = [np.asarray(x) for x in v2._run_wave_pallas(w)]
+    # (tokens, counts, has_eob, eob_exit, err_code, out_total, overflow)
+    np.testing.assert_array_equal(got[1], ref[1])
+    np.testing.assert_array_equal(got[2], ref[2])
+    np.testing.assert_array_equal(got[3], ref[3])
+    np.testing.assert_array_equal(got[4], ref[4])
+    np.testing.assert_array_equal(got[5], ref[5])
+    assert not bool(got[6])
+    for i in range(len(payloads)):
+        n = int(ref[1][i])
+        np.testing.assert_array_equal(got[0][i, :n], ref[0][i, :n])

@@ -147,6 +147,25 @@ def canonical_tables(lengths: np.ndarray, max_len: int = MAX_CODE_LEN) -> dict:
     }
 
 
+def canonical_bounds(tables: dict, ml: int) -> np.ndarray:
+    """(L, 16) canonical tables -> (L, ml+1) int32 decode thresholds.
+
+    bound[l] = (first[l] + count[l]) << (ml - l): the exclusive upper
+    bound of length-l codes left-aligned in ml-bit space. Monotone
+    non-decreasing for valid codes (first[l]<<(ml-l) == bound[l-1] by the
+    canonical recurrence), so a reversed ml-bit prefix v has code length
+    len(v) = 1 + #{l : bound[l] <= v} — the comparison-ladder decode that
+    replaces the per-length range checks of ``_canon_decode``.
+    """
+    first = tables["first"].astype(np.int64)
+    count = tables["count"].astype(np.int64)
+    L = first.shape[0]
+    bound = np.zeros((L, ml + 1), np.int64)
+    for l in range(1, ml + 1):
+        bound[:, l] = (first[:, l] + count[:, l]) << (ml - l)
+    return bound.astype(np.int32)
+
+
 def _litlen_sym_table(syms: np.ndarray) -> np.ndarray:
     """(L, 288) sorted symbols -> (L, 64, 10) bf16 for the one-hot matmul.
 
@@ -622,6 +641,20 @@ def decode_deflate_streams_v2(payloads: list[bytes], runner=None) -> list[LaneSt
     return lanes
 
 
+def _use_pallas() -> bool:
+    from . import decode_pallas as dp
+
+    return dp.pallas_available()
+
+
+def _p_buckets() -> tuple[int, ...]:
+    if _use_pallas():
+        from . import decode_pallas as dp
+
+        return dp.P_BUCKETS_PALLAS
+    return _P_BUCKETS
+
+
 def _decode_huffman_wave(wave: list[LaneState], runner=None) -> None:
     """One batched device decode of each lane's current Huffman block."""
     from . import decode_jax as dj
@@ -639,7 +672,7 @@ def _decode_huffman_wave(wave: list[LaneState], runner=None) -> None:
     rems = [st.bitpos % 8 for st in wave]
     avail = [len(st.payload) - sh for st, sh in zip(wave, shifts)]
     remain = [min(a, st.window) for a, st in zip(avail, wave)]
-    P = _bucket(max(max(remain), 1), _P_BUCKETS)
+    P = _bucket(max(max(remain), 1), _p_buckets())
     rows = np.zeros((L, P), np.uint8)
     row_bits = np.zeros(L, np.int64)
     start_bits = np.zeros(L, np.int64)
@@ -742,6 +775,61 @@ def _run_wave_device(w: dict, full_compact: bool = False):
 _run_wave_jit = jax.jit(_run_wave_device, static_argnames=("full_compact",))
 
 
+@jax.jit
+def compact_level2(tok1: jnp.ndarray):
+    """Global compaction of level-1 tile-compacted tokens (-1 padding)."""
+    L, M = tok1.shape
+    valid2 = tok1 >= 0
+    rank2 = jnp.cumsum(valid2.astype(jnp.int32), axis=1) - 1
+    pos2 = jnp.arange(M, dtype=jnp.int32)[None, :]
+    disp2 = jnp.where(valid2, pos2 - rank2, -1)
+    tok2, _ = _compact_rounds(tok1, disp2, int(np.ceil(np.log2(M))), axis=1)
+    return tok2
+
+
+def _run_wave_pallas(w: dict, full_compact: bool = False):
+    """Pallas-kernel wave pipeline (same 7-tuple contract as
+    ``_run_wave_device``): stage A (XLA elementwise/MXU) -> pallas
+    stage B (VMEM cursor transfers, 512-bit tiles) -> XLA stage C
+    (8x fewer tiles) -> pallas stage DC (replay + level-1 compaction +
+    stage-E partials in one kernel) -> XLA level-2 compaction.
+
+    On level-1 overflow (more than K1 chain tokens in one 512-bit tile —
+    degenerate short-code streams) the driver reruns the wave through the
+    XLA fallback, so ``overflow`` propagates unchanged.
+    """
+    from . import decode_pallas as dp
+
+    delta, token = stage_a(
+        w["payload"], w["payload_bits"],
+        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
+        w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
+    )
+    L, B = delta.shape
+    NT = B // dp.W_P
+    dt = delta.astype(jnp.int32).reshape(L, NT, dp.W_P).transpose(0, 2, 1)
+    tt = token.reshape(L, NT, dp.W_P).transpose(0, 2, 1)
+    transfers = dp.stage_b_pallas(dt)
+    entries, _final = stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))
+    tokc, summ = dp.stage_dc_pallas(dt, tt, entries.astype(jnp.int32))
+
+    counts = jnp.sum(summ[:, dp.ROW_COUNT, :], axis=1)
+    eob_hit = summ[:, dp.ROW_EOB_HIT, :]
+    has_eob = jnp.sum(eob_hit, axis=1) > 0
+    tile_base = (jnp.arange(NT, dtype=jnp.int32) * dp.W_P)[None, :]
+    eob_pos = jnp.sum(summ[:, dp.ROW_EOB_POS, :] + eob_hit * tile_base, axis=1)
+    eob_tok = jnp.sum(summ[:, dp.ROW_EOB_TOK, :], axis=1)
+    eob_exit = jnp.where(has_eob, eob_pos + (-eob_tok - 1), 0)
+    err_hit = jnp.sum(summ[:, dp.ROW_ERR_HIT, :], axis=1) > 0
+    err_tok = jnp.sum(summ[:, dp.ROW_ERR_TOK, :], axis=1)
+    err_code = jnp.where(err_hit, -err_tok - 100, 0)
+    out_total = jnp.sum(summ[:, dp.ROW_SIZE_SUM, :], axis=1)
+    overflow = jnp.sum(summ[:, dp.ROW_OVERFLOW, :]) > 0
+
+    tokens = compact_level2(tokc.reshape(L, NT * dp.K1))
+    return tokens, counts, has_eob, eob_exit, err_code, out_total, overflow
+
+
 def _run_wave_unfused(w: dict, full_compact: bool = False):
     """Stage-by-stage dispatch of one wave (the single-device fast path).
 
@@ -757,7 +845,12 @@ def _run_wave_safe(w: dict):
 
 def _run_block_stages(wave, rows, row_bits, hp, truncated, runner=None) -> None:
     w, shift2 = _wave_arrays(rows, row_bits, hp)
-    run = runner if runner is not None else _run_wave_unfused
+    if runner is not None:
+        run = runner
+    elif _use_pallas():
+        run = _run_wave_pallas
+    else:
+        run = _run_wave_unfused
     run_safe = getattr(runner, "safe", None) or _run_wave_safe
     tokens, counts, has_eob, eob_exit, err_code, out_total, overflow = run(w)
     if bool(np.asarray(overflow)):
@@ -873,13 +966,13 @@ def inflate_raw_v2(payload: bytes) -> bytes:
     return _resolve_lane(st, None)
 
 
-def _prep_wave(payloads: list[bytes], lanes: int):
+def _prep_wave(payloads: list[bytes], lanes: int, buckets: tuple[int, ...] | None = None):
     """Host-side prep of one lane wave (header parse + canonical tables +
     byte-shifted rows) for single-block-per-member profile streams."""
     from . import decode_jax as dj
 
     L = _bucket(len(payloads), V2_L_BUCKETS) if lanes is None else lanes
-    P = _bucket(max(len(p) for p in payloads), _P_BUCKETS)
+    P = _bucket(max(len(p) for p in payloads), buckets or _p_buckets())
     rows = np.zeros((L, P), np.uint8)
     row_bits = np.zeros(L, np.int64)
     for i, p in enumerate(payloads):

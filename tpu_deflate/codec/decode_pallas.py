@@ -45,15 +45,23 @@ import numpy as np
 
 from ..kernels import jax_setup  # noqa: F401
 
+try:  # pallas may be absent on exotic builds; the XLA twins then serve
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_IMPORTED = True
+except Exception:  # pragma: no cover
+    _PALLAS_IMPORTED = False
+
 W_P = 512  # tile width in bits for the pallas path
 E_WIN = 48  # entry offsets tracked per tile (max bits of one symbol group)
 K1 = 256  # level-1 compacted token slots per tile
-CT = 64  # tiles per kernel block (lane axis)
+CT = 128  # tiles per kernel block (lane axis; Mosaic needs multiples of 128)
 _EOB_ADV = 4096
 _ERR_ADV = 8192
 
-# Payload byte buckets for the pallas path: multiples of 4096 so the
-# per-lane tile count NT = P/64 is a multiple of CT=64.
+# Payload byte buckets for the pallas path: multiples of 8192 so the
+# per-lane tile count NT = P/64 is a multiple of CT=128.
 P_BUCKETS_PALLAS = (8192, 16384, 24576, 32768, 40960, 65536, 262144, 1048576)
 
 
@@ -118,19 +126,19 @@ def _cumsum_sublanes(x):
     return x
 
 
-def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref):
+def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref, reach_ref):
     """Replay + compact one block of CT tiles.
 
     d_ref/t_ref (1, W, CT) int32 delta/token tiles; e_ref (1, 8, CT)
     int32 with row 0 = entry offsets (0..47 live, >=127 dead).
     tok_ref (1, K1, CT) int32 compacted tokens (-1 padding);
-    sum_ref (1, 8, CT) int32 per-tile summary rows (see ROW_*).
+    sum_ref (1, 8, CT) int32 per-tile summary rows (see ROW_*);
+    reach_ref (W, CT) int32 VMEM scratch for the reached bitmap.
     """
     entry = e_ref[0, 0, :]
     cur0 = jnp.where(entry < E_WIN, entry, 100000)
 
-    def body(s8, carry):
-        cur, reached = carry
+    def body(s8, cur):
         base = pl.multiple_of(s8 * 8, 8)
         blk = d_ref[0, pl.ds(base, 8), :]
         rows = []
@@ -138,13 +146,11 @@ def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref):
             at = (cur == base + k).astype(jnp.int32)
             rows.append(at)
             cur = cur + at * _adv_from_delta(blk[k, :])
-        # accumulate the 8 rows into the reached bitmap via one aligned store
-        blk_rows = jnp.stack(rows, axis=0)  # (8, CT)
-        reached = jax.lax.dynamic_update_slice(reached, blk_rows, (base, 0))
-        return cur, reached
+        reach_ref[pl.ds(base, 8), :] = jnp.stack(rows, axis=0)
+        return cur
 
-    reached0 = jnp.zeros((W_P, CT), jnp.int32)
-    cur, reached = jax.lax.fori_loop(0, W_P // 8, body, (cur0, reached0))
+    cur = jax.lax.fori_loop(0, W_P // 8, body, cur0)
+    reached = reach_ref[:, :]
 
     d = d_ref[0]  # (W, CT)
     tok = t_ref[0]
@@ -153,29 +159,34 @@ def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref):
     valid = reached * (d < 127).astype(jnp.int32)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (W_P, CT), 0)
-    sum_ref[0, ROW_EOB_POS, :] = jnp.sum(is_eob * pos, axis=0)
-    sum_ref[0, ROW_EOB_TOK, :] = jnp.sum(is_eob * tok, axis=0)
-    sum_ref[0, ROW_ERR_TOK, :] = jnp.sum(is_err * tok, axis=0)
-    sum_ref[0, ROW_EOB_HIT, :] = jnp.sum(is_eob, axis=0)
-    sum_ref[0, ROW_ERR_HIT, :] = jnp.sum(is_err, axis=0)
     is_lit = (tok >= 0) & (tok < 256)
     size = jnp.where(is_lit, 1, (tok >> 16) & 0x3FF)
-    sum_ref[0, ROW_SIZE_SUM, :] = jnp.sum(valid * size, axis=0)
     counts = jnp.sum(valid, axis=0)
-    sum_ref[0, ROW_COUNT, :] = counts
-    sum_ref[0, ROW_OVERFLOW, :] = (counts > K1).astype(jnp.int32)
+    summary = jnp.stack(
+        [
+            counts,  # ROW_COUNT
+            jnp.sum(is_eob * pos, axis=0),  # ROW_EOB_POS
+            jnp.sum(is_eob * tok, axis=0),  # ROW_EOB_TOK
+            jnp.sum(is_err * tok, axis=0),  # ROW_ERR_TOK
+            jnp.sum(valid * size, axis=0),  # ROW_SIZE_SUM
+            jnp.sum(is_eob, axis=0),  # ROW_EOB_HIT
+            jnp.sum(is_err, axis=0),  # ROW_ERR_HIT
+            (counts > K1).astype(jnp.int32),  # ROW_OVERFLOW
+        ],
+        axis=0,
+    )
+    sum_ref[0] = summary
 
     # Level-1 compaction: displacement moves (collision-free since
     # disp = pos - rank is non-decreasing over valid positions).
     rank = _cumsum_sublanes(valid) - 1
-    rows = pos
-    disp = jnp.where(valid == 1, rows - rank, -1)
+    disp = jnp.where(valid == 1, pos - rank, -1)
     tokv = jnp.where(valid == 1, tok, -1)
     sh = 1
     while sh < W_P:
-        d_right = pltpu.roll(disp, shift=-sh, axis=0)
-        t_right = pltpu.roll(tokv, shift=-sh, axis=0)
-        in_range = rows < (W_P - sh)
+        d_right = pltpu.roll(disp, shift=W_P - sh, axis=0)
+        t_right = pltpu.roll(tokv, shift=W_P - sh, axis=0)
+        in_range = pos < (W_P - sh)
         d_right = jnp.where(in_range, d_right, -1)
         t_right = jnp.where(in_range, t_right, -1)
         take = (d_right >= 0) & ((d_right & sh) != 0)
@@ -190,17 +201,28 @@ def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref):
 # Host-facing wrappers
 # ---------------------------------------------------------------------------
 
-try:  # pallas may be absent on exotic builds; the XLA twins then serve
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+def _interpret_default() -> bool:
+    """Pallas interpret mode off only on real TPU-family backends."""
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return True
 
-    _PALLAS_IMPORTED = True
-except Exception:  # pragma: no cover
-    _PALLAS_IMPORTED = False
+
+def stage_b_pallas(delta_t: jnp.ndarray, *, interpret: bool | None = None) -> jnp.ndarray:
+    if interpret is None:
+        interpret = _interpret_default()
+    return _stage_b_jit(delta_t, interpret=interpret)
+
+
+def stage_dc_pallas(delta_t, token_t, entries, *, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _stage_dc_jit(delta_t, token_t, entries, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def stage_b_pallas(delta_t: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+def _stage_b_jit(delta_t: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
     """delta_t (L, W_P, NT) int32 -> transfers (L, NT, E_WIN) uint8."""
     L, W, NT = delta_t.shape
     assert W == W_P and NT % CT == 0
@@ -220,7 +242,7 @@ def stage_b_pallas(delta_t: jnp.ndarray, *, interpret: bool = False) -> jnp.ndar
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def stage_dc_pallas(
+def _stage_dc_jit(
     delta_t: jnp.ndarray,  # (L, W_P, NT) int32
     token_t: jnp.ndarray,  # (L, W_P, NT) int32
     entries: jnp.ndarray,  # (L, NT) int32 (0..47 live, >=127 dead)
@@ -247,6 +269,7 @@ def stage_dc_pallas(
             jax.ShapeDtypeStruct((L, K1, NT), jnp.int32),
             jax.ShapeDtypeStruct((L, 8, NT), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((W_P, CT), jnp.int32)],
         interpret=interpret,
     )(delta_t, token_t, ent8)
     return tok.transpose(0, 2, 1), summ

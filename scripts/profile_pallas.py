@@ -1,6 +1,10 @@
 """Per-stage profile of the pallas wave pipeline on the real chip.
 
-Usage: python scripts/profile_pallas.py [corpus_mb] [lanes]
+Usage: python scripts/profile_pallas.py [corpus_mb] [lanes] [inner]
+
+Each stage is timed over ``inner`` back-to-back async calls with one
+forcing scalar pull, so the ~30-40 ms tunnel round-trip amortizes to
+RTT/inner per reported call.
 """
 
 from __future__ import annotations
@@ -19,8 +23,11 @@ from bench import make_corpus  # noqa: E402
 from tpu_deflate.codec import decode_jax_v2 as v2  # noqa: E402
 from tpu_deflate.codec import decode_pallas as dp  # noqa: E402
 
+INNER = 16
 
-def timeit(fn, inner=4, reps=3):
+
+def timeit(fn, inner=None, reps=2):
+    inner = inner or INNER
     np.asarray(jnp.sum(fn().astype(jnp.float32)))  # warm
     best = float("inf")
     for _ in range(reps):
@@ -34,8 +41,11 @@ def timeit(fn, inner=4, reps=3):
 
 
 def main():
+    global INNER
     corpus_mb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    if len(sys.argv) > 3:
+        INNER = int(sys.argv[3])
     data = make_corpus(corpus_mb)
     from tpu_deflate import native
     from tpu_deflate.codec import decode_jax as dj
@@ -43,39 +53,23 @@ def main():
     gz = native.compress_members_native(data)
     buf = np.frombuffer(gz, dtype=np.uint8)
     members = dj.split_members(buf)
-    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in members][:lanes]
+    huff = [m for m in members if ((int(buf[m.payload_start]) >> 1) & 3) != 0]
+    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in huff][:lanes]
     w = v2._prep_wave(payloads, lanes, buckets=dp.P_BUCKETS_PALLAS)
     w = {k: jax.device_put(jnp.asarray(v)) for k, v in w.items()}
     np.asarray(sum(jnp.sum(x.astype(jnp.int32)) for x in w.values() if hasattr(x, "astype")))
     payload_mb = sum(len(p) for p in payloads) / 2**20
-    print(f"wave: {lanes} lanes, padded {w['payload'].shape}, real payload {payload_mb:.2f} MiB")
+    print(f"wave: {lanes} lanes, grid {w['grid'].shape}, real payload {payload_mb:.2f} MiB")
 
-    delta, token = v2.stage_a(
-        w["payload"], w["payload_bits"],
-        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
-        w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
-    )
-    L, B = delta.shape
-    NT = B // dp.W_P
-    dt = delta.astype(jnp.int32).reshape(L, NT, dp.W_P).transpose(0, 2, 1)
-    tt = token.reshape(L, NT, dp.W_P).transpose(0, 2, 1)
-    dt = jax.device_put(dt); tt = jax.device_put(tt)
+    dt, tt = v2._stage_a_wave(w)
+    L, _W, NT = dt.shape
     transfers = dp.stage_b_pallas(dt)
     entries, _final = v2.stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))
     entries = jax.device_put(entries.astype(jnp.int32))
     tokc, summ = dp.stage_dc_pallas(dt, tt, entries)
 
-    reshape = jax.jit(lambda d, t: (
-        d.astype(jnp.int32).reshape(L, NT, dp.W_P).transpose(0, 2, 1),
-        t.reshape(L, NT, dp.W_P).transpose(0, 2, 1)))
-
     stages = {
-        "a": lambda: v2.stage_a(
-            w["payload"], w["payload_bits"],
-            w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
-            w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
-        )[1],
-        "reshape": lambda: reshape(delta, token)[1],
+        "a": lambda: v2._stage_a_wave(w)[1],
         "b_pallas": lambda: dp.stage_b_pallas(dt),
         "c": lambda: v2.stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))[0],
         "dc_pallas": lambda: dp.stage_dc_pallas(dt, tt, entries)[0],

@@ -1,26 +1,29 @@
-"""Profiling harness for the v2 device decoder (run on the real chip).
+"""Profiling harness for the v2 XLA-twin decoder path (run on the chip).
 
-Times the fused wave jit and each stage separately on one staged wave,
-amortizing the tunnel round-trip. Usage:
+Times the fused wave jit and each XLA stage separately on one staged
+wave, amortizing the tunnel round-trip. The pallas pipeline has its own
+profiler (profile_pallas.py). Usage:
 
     python scripts/profile_v2.py [corpus_mb] [lanes]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
 from bench import make_corpus  # noqa: E402
 from tpu_deflate.codec import decode_jax_v2 as v2  # noqa: E402
 
 
-def timeit(fn, inner=4, reps=3):
+def timeit(fn, inner=16, reps=2):
     """fn must return a device array; only a scalar reduction is pulled."""
     np.asarray(jnp.sum(fn().astype(jnp.float32)))  # warm
     best = float("inf")
@@ -39,18 +42,18 @@ def main():
     lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     data = make_corpus(corpus_mb)
     from tpu_deflate import native
-
-    gz = native.compress_members_native(data)
     from tpu_deflate.codec import decode_jax as dj
 
+    gz = native.compress_members_native(data)
     buf = np.frombuffer(gz, dtype=np.uint8)
     members = dj.split_members(buf)
-    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in members][:lanes]
+    huff = [m for m in members if ((int(buf[m.payload_start]) >> 1) & 3) != 0]
+    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in huff][:lanes]
     w = v2._prep_wave(payloads, lanes)
     w = {k: jax.device_put(jnp.asarray(v)) for k, v in w.items()}
     np.asarray(sum(jnp.sum(x.astype(jnp.int32)) for x in w.values() if hasattr(x, "astype")))
     payload_mb = sum(len(p) for p in payloads) / 2**20
-    print(f"wave: {lanes} lanes, padded {w['payload'].shape}, real payload {payload_mb:.2f} MiB")
+    print(f"wave: {lanes} lanes, grid {w['grid'].shape}, real payload {payload_mb:.2f} MiB")
 
     def fused():
         out = v2._run_wave_jit(w)
@@ -60,30 +63,17 @@ def main():
     print(f"fused wave: {t_fused*1e3:.1f} ms -> {payload_mb/1024/t_fused:.3f} GB/s payload")
 
     def unfused():
-        d, tok = v2.stage_a(
-            w["payload"], w["payload_bits"],
-            w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
-            w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
-        )
-        Lx, Bx = d.shape
-        dt = d.reshape(Lx, Bx // v2.W_TILE, v2.W_TILE)
-        tr = v2.stage_b_transfers(dt)
-        en, fin = v2.stage_c_entries(tr, w["rem"].astype(jnp.uint8))
-        rc = v2.stage_d_reached(dt, en).reshape(Lx, Bx)
-        he, ee, ec, ot = v2.stage_e_summary(d, tok, rc)
-        va = rc & (d < v2.SENT_EOB)
-        tk, ct, ov = v2.compact_tokens(tok, va)
-        return jnp.sum(ct) + jnp.sum(ot)
+        out = v2._run_wave_unfused(w)
+        return jnp.sum(out[1]) + jnp.sum(out[5])
 
     t_unf = timeit(unfused)
     print(f"unfused wave: {t_unf*1e3:.1f} ms -> {payload_mb/1024/t_unf:.3f} GB/s payload")
 
-    delta, token = v2.stage_a(
-        w["payload"], w["payload_bits"],
-        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
-        w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
-    )
-    L, B = delta.shape
+    delta_t, token_t = v2._stage_a_wave(w)
+    L, W, NT = delta_t.shape
+    B = W * NT
+    delta = delta_t.transpose(0, 2, 1).reshape(L, B).astype(jnp.uint8)
+    token = token_t.transpose(0, 2, 1).reshape(L, B)
     delta_tiles = delta.reshape(L, B // v2.W_TILE, v2.W_TILE)
     transfers = v2.stage_b_transfers(delta_tiles)
     entries, final = v2.stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))
@@ -91,11 +81,7 @@ def main():
     valid = reached & (delta < v2.SENT_EOB)
 
     stages = {
-        "a": lambda: v2.stage_a(
-            w["payload"], w["payload_bits"],
-            w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
-            w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
-        )[1],
+        "a": lambda: v2._stage_a_wave(w)[1],
         "b": lambda: v2.stage_b_transfers(delta_tiles),
         "c": lambda: v2.stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))[0],
         "d": lambda: v2.stage_d_reached(delta_tiles, entries),

@@ -5,15 +5,19 @@ Motivation (measured, see ARCHITECTURE.md): XLA dynamic gather/scatter/
 sort on the axon backend run orders of magnitude below bandwidth. v2
 eliminates them entirely:
 
-- **Stage A** (one fused jit): 32-bit windows at every bit position
-  (elementwise expansion); *canonical-arithmetic* Huffman decode — for
-  each code length l in 1..15, the bit-reversed l-bit prefix is compared
-  against the canonical ``first_code[l]``/``count[l]`` range (pure
-  elementwise int ops; ≙ the reference's ``codeLengthsToCodeTree`` walk,
-  ``decomp/Open.java:705-756``, restated as closed-form range checks).
-  The only table lookup left is sorted-symbol-by-canonical-index: a
-  288-entry per-lane table read as an MXU one-hot matmul for litlen and
-  a 32-way select chain for distances. This supports the full 15-bit
+- **Stage A** (one fused jit, tile-native layout): 32-bit windows at
+  every bit position, built from a (64, NT) tile-major byte grid so the
+  outputs land directly in the (sublane=bit, lane=tile) layout the
+  pallas cursor kernels consume — no large transposes anywhere;
+  *canonical-arithmetic* Huffman decode — for each code length l in
+  1..15, the bit-reversed l-bit prefix is compared against the canonical
+  ``first_code[l]``/``count[l]`` range (pure elementwise int ops; ≙ the
+  reference's ``codeLengthsToCodeTree`` walk, ``decomp/Open.java:705-756``,
+  restated as closed-form range checks). The only table lookup left is a
+  packed *descriptor* by canonical index (class | extra-bit count |
+  literal-byte-or-run-base, precomputed on host): an MXU one-hot matmul
+  for litlen, chunked so the one-hot never exceeds a 64-row slab, and a
+  32-way select chain for distances. This supports the full 15-bit
   code-length range of RFC 1951 with no 2^15 LUT.
 - **Stage B** (``lax.scan``, elementwise body): per-tile transfer
   functions. Payload is cut into 64-bit tiles; chains enter a tile only
@@ -65,9 +69,9 @@ import numpy as np
 
 from ..kernels import jax_setup  # noqa: F401
 from ..format.errors import DataFormatError, Reason, reason_to_code
-from .decode_jax import _dist_base_extra, _run_base_extra
 
-W_TILE = 64  # bits per tile (small tiles minimize scan dispatch overhead)
+W_TILE_P = 512  # stage A layout unit: bits per tile column (= pallas W_P)
+W_TILE = 64  # bits per tile in the XLA twin scans (minimizes scan overhead)
 ENTRY_WIN = 48  # max bits one symbol group consumes (15+5+15+13)
 MAX_CODE_LEN = 15  # full RFC 1951 range
 # In-band uint8 delta sentinels: normal advances are 1..48; cursor ranges
@@ -90,6 +94,10 @@ V2_LANE_BATCH = 256  # per-batch overhead (host parse, uploads) amortizes
 V2_L_BUCKETS = (4, 16, 64, V2_LANE_BATCH)
 _P_BUCKETS = (8320, 33280, 39936, 66560, 266240)
 PAYLOAD_PAD = _P_BUCKETS[-1]
+# Cap on padded lanes x payload bytes per device dispatch: stage A holds a
+# handful of (L, P*8) int32 intermediates, so 16 MiB of payload keeps the
+# live set well under HBM even with the compaction arrays resident.
+WAVE_BYTES_CAP = 16 << 20
 
 _ERR_END = reason_to_code(Reason.UNEXPECTED_END_OF_STREAM)
 _ERR_RESERVED_LEN = reason_to_code(Reason.RESERVED_LENGTH_SYMBOL)
@@ -166,21 +174,52 @@ def canonical_bounds(tables: dict, ml: int) -> np.ndarray:
     return bound.astype(np.int32)
 
 
-def _litlen_sym_table(syms: np.ndarray) -> np.ndarray:
-    """(L, 288) sorted symbols -> (L, 64, 10) bf16 for the one-hot matmul.
+def _litlen_desc_table(syms: np.ndarray) -> np.ndarray:
+    """(L, 288) sorted litlen symbols -> (L, 64, 10) bf16 packed-descriptor
+    table for the one-hot MXU lookup.
 
-    Columns 0..4 hold the low 7 bits (<=127, exact in bf16), columns
-    5..9 the high bits (<=2) — a split that keeps every table value
-    integer-exact in one single-pass bf16 MXU dot (f32 inputs would need
-    Precision.HIGHEST = 6 passes on this hardware for exactness).
+    Instead of looking up the raw symbol and re-deriving its class and
+    run parameters arithmetically at every bit position, the host packs a
+    13-bit descriptor per canonical index:
+
+        desc = cls(2b) | run_bits(3b)<<2 | pay(8b)<<5
+        cls 0 = literal (pay = the byte), 1 = end-of-block,
+        cls 2 = match  (pay = run_base - 3, run_bits = extra bits),
+        cls 3 = reserved symbol 286/287 (also used for table padding).
+
+    Columns 0..4 hold desc&127 for the 5 64-row groups, 5..9 desc>>7
+    (<=63) — both halves integer-exact in one bf16 MXU pass.
+    ≙ the symbol->base/extra closed forms of ``decomp/Open.java:843-886``
+    folded into the table build.
     """
+    from ..format.tables import LENGTH_BASE, LENGTH_EXTRA
+
     L = syms.shape[0]
-    pad = np.zeros((L, 320), np.int32)
-    pad[:, : syms.shape[1]] = syms
+    s = np.clip(syms, 0, 287)
+    cls = np.where(s < 256, 0, np.where(s == 256, 1, np.where(s <= 285, 2, 3)))
+    mi = np.clip(s - 257, 0, 28)
+    rb = np.where(cls == 2, LENGTH_EXTRA[mi], 0)
+    pay = np.where(cls == 0, s, np.where(cls == 2, LENGTH_BASE[mi] - 3, 0))
+    desc = cls | (rb << 2) | (pay << 5)
+    pad = np.full((L, 320), 3, np.int32)  # padding decodes as reserved
+    pad[:, : syms.shape[1]] = desc
     grid = pad.reshape(L, 5, 64).transpose(0, 2, 1)  # (L, 64, 5)
     lo = (grid & 127).astype(np.float32)
     hi = (grid >> 7).astype(np.float32)
     return np.concatenate([lo, hi], axis=2).astype(jnp.bfloat16)
+
+
+def _dist_desc_table(syms32: np.ndarray) -> np.ndarray:
+    """(L, 32) sorted distance symbols -> (L, 32) int32 packed descriptors:
+    (dist_base-1)(15b) | dist_bits<<15 (4b) | reserved<<19."""
+    from ..format.tables import DIST_BASE, DIST_EXTRA
+
+    s = np.clip(syms32, 0, 31)
+    valid = s <= 29
+    si = np.clip(s, 0, 29)
+    base = np.where(valid, DIST_BASE[si] - 1, 0).astype(np.int64)
+    bits = np.where(valid, DIST_EXTRA[si], 0).astype(np.int64)
+    return (base | (bits << 15) | ((~valid).astype(np.int64) << 19)).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -188,144 +227,175 @@ def _litlen_sym_table(syms: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _lane_bc(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """(L,) per-lane scalar -> broadcastable against an (L, ...) array."""
+    return v.reshape(v.shape[:1] + (1,) * (ndim - 1))
+
+
 def _canon_decode(w, first, base, count):
     """Canonical range decode at every position.
 
-    w (L, B) uint32 bit windows; tables (L, 16) int32. Returns
-    (code_len (L,B) i32, canonical_index (L,B) i32, found (L,B) bool) —
-    pure elementwise work, no gathers.
+    w (L, ...) uint32 bit windows; tables (L, 16) int32. Returns
+    (code_len, canonical_index, found), all shaped like w — pure
+    elementwise work, no gathers.
     """
     shape = w.shape
+    nd = w.ndim
     rev = jnp.zeros(shape, jnp.int32)
     ln = jnp.zeros(shape, jnp.int32)
     idx = jnp.zeros(shape, jnp.int32)
     found = jnp.zeros(shape, bool)
     for l in range(1, MAX_CODE_LEN + 1):
         rev = (rev << 1) | ((w >> (l - 1)) & 1).astype(jnp.int32)
-        off = rev - first[:, l][:, None]
-        hit = (~found) & (off >= 0) & (off < count[:, l][:, None])
+        off = rev - _lane_bc(first[:, l], nd)
+        hit = (~found) & (off >= 0) & (off < _lane_bc(count[:, l], nd))
         ln = jnp.where(hit, l, ln)
-        idx = jnp.where(hit, base[:, l][:, None] + off, idx)
+        idx = jnp.where(hit, _lane_bc(base[:, l], nd) + off, idx)
         found = found | hit
     return ln, idx, found
 
 
-def _sym_lookup_320(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """tbl (L, 64, 10) bf16 split table, idx (L, B) int32 in [0, 320) ->
-    (L, B) int32.
+def _desc_lookup_320(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """tbl (L, 64, 10) bf16 split descriptor table, idx (L, W, NT) int32
+    in [0, 320) -> (L, W, NT) int32 descriptors.
 
     One-hot over the low 6 index bits rides the MXU in a single bf16
     pass (one-hot entries and both table halves are bf16-exact); the 5
     row pairs are picked with a select chain and recombined as
-    lo + 128*hi.
+    lo + 128*hi. The W axis is processed in 64-row chunks under a scan
+    so the one-hot never materializes more than (L, 64, NT, 64) at once
+    (full-width one-hots OOM large waves).
     """
+    L, W, NT = idx.shape
+    assert W % 64 == 0
     lo6 = idx & 63
     hi6 = idx >> 6
-    oh = (
-        jax.lax.broadcasted_iota(jnp.int32, idx.shape + (64,), idx.ndim) == lo6[..., None]
-    ).astype(jnp.bfloat16)
-    rows = jax.lax.dot_general(
-        oh,
-        tbl,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (L, B, 10)
-    out_lo = jnp.zeros(idx.shape, jnp.float32)
-    out_hi = jnp.zeros(idx.shape, jnp.float32)
-    for h in range(5):
-        out_lo = jnp.where(hi6 == h, rows[..., h], out_lo)
-        out_hi = jnp.where(hi6 == h, rows[..., 5 + h], out_hi)
-    return out_lo.astype(jnp.int32) | (out_hi.astype(jnp.int32) << 7)
+
+    def chunk(_, xs):
+        lo_c, hi_c = xs  # (L, 64, NT)
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, lo_c.shape + (64,), lo_c.ndim)
+            == lo_c[..., None]
+        ).astype(jnp.bfloat16)
+        rows = jax.lax.dot_general(
+            oh,
+            tbl,
+            (((3,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (L, 64, NT, 10)
+        out_lo = jnp.zeros(lo_c.shape, jnp.float32)
+        out_hi = jnp.zeros(lo_c.shape, jnp.float32)
+        for h in range(5):
+            out_lo = jnp.where(hi_c == h, rows[..., h], out_lo)
+            out_hi = jnp.where(hi_c == h, rows[..., 5 + h], out_hi)
+        return None, out_lo.astype(jnp.int32) | (out_hi.astype(jnp.int32) << 7)
+
+    nc = W // 64
+    xs = (
+        jnp.moveaxis(lo6.reshape(L, nc, 64, NT), 1, 0),
+        jnp.moveaxis(hi6.reshape(L, nc, 64, NT), 1, 0),
+    )
+    _, ys = jax.lax.scan(chunk, None, xs)  # (nc, L, 64, NT)
+    return jnp.moveaxis(ys, 0, 1).reshape(L, W, NT)
 
 
-def _sym_select32(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """tbl (L, 32) int32, idx (L, B) in [0, 32) -> (L, B) via select chain."""
+def _desc_select32(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """tbl (L, 32) int32, idx (L, ...) in [0, 32) -> select chain."""
     out = jnp.zeros_like(idx)
     for k in range(32):
-        out = jnp.where(idx == k, tbl[:, k][:, None], out)
+        out = jnp.where(idx == k, _lane_bc(tbl[:, k], idx.ndim), out)
     return out
 
 
 @jax.jit
 def stage_a(
-    payload: jnp.ndarray,  # (L, P) uint8, block body starts inside byte 0
+    grid: jnp.ndarray,  # (L, 64, NT+1) uint8 tile-major byte grid
     payload_bits: jnp.ndarray,  # (L,) int32 valid bits per lane
     ll_first: jnp.ndarray,  # (L, 16) int32 litlen canonical tables
     ll_base: jnp.ndarray,
     ll_count: jnp.ndarray,
-    ll_syms: jnp.ndarray,  # (L, 64, 5) f32 sorted litlen symbols
+    ll_desc: jnp.ndarray,  # (L, 64, 10) bf16 packed litlen descriptors
     d_first: jnp.ndarray,  # (L, 16) int32 distance canonical tables
     d_base: jnp.ndarray,
     d_count: jnp.ndarray,
-    d_syms: jnp.ndarray,  # (L, 32) int32 sorted distance symbols
+    d_desc: jnp.ndarray,  # (L, 32) int32 packed distance descriptors
     dist_empty: jnp.ndarray,  # (L,) bool
 ):
-    """Per-bit-position speculative decode.
+    """Per-bit-position speculative decode, tile-native layout.
 
-    Returns (delta, token), both (L, B):
-    - delta (uint8): bits consumed by the symbol group at each position
-      (1..48), or SENT_EOB (127) / SENT_ERR (255);
-    - token (int32): literal byte in [0,256); TOKEN_MATCH_BIT|run<<16|
-      (dist-1) for matches; -(1+eob_code_len) at EOB positions (stage E
-      recovers the exit bit for block chaining); -(100+reason_code) at
-      error positions, precedence-ordered exactly as the reference's
-      serial reads would trip (``decomp/Open.java:516-593``).
+    ``grid[l, b, t]`` is byte ``t*64 + b`` of lane l's payload (the block
+    body starts inside byte 0); column NT is the zero tile past the end.
+    Bit position p = t*512 + s lives at [:, s, t] of every produced
+    array — exactly the (sublane=bit, lane=tile) layout the pallas cursor
+    kernels consume, so no transposes appear anywhere in the pipeline.
+
+    Returns (delta, token), both (L, 512, NT) int32:
+    - delta: bits consumed by the symbol group at each position (1..48),
+      or SENT_EOB (127) / SENT_ERR (255);
+    - token: literal byte in [0,256); TOKEN_MATCH_BIT|run<<16|(dist-1)
+      for matches; -(1+eob_code_len) at EOB positions (stage E recovers
+      the exit bit for block chaining); -(100+reason_code) at error
+      positions, precedence-ordered exactly as the reference's serial
+      reads would trip (``decomp/Open.java:516-593``).
     """
-    L, P = payload.shape
-    B = P * 8
+    L, WB, NTp = grid.shape
+    assert WB == 64
+    NT = NTp - 1
+    g32 = grid.astype(jnp.uint32)
 
-    ext = jnp.concatenate([payload, jnp.zeros((L, 9), jnp.uint8)], axis=1).astype(jnp.uint32)
+    def brow(k: int) -> jnp.ndarray:
+        """(L, 512, NT) uint32: byte (s//8 + k) of tile t at row s."""
+        a = g32[:, k:, :NT]
+        if k:
+            a = jnp.concatenate([a, g32[:, :k, 1 : NT + 1]], axis=1)
+        return jnp.repeat(a, 8, axis=1)
 
-    def windows(off: int) -> jnp.ndarray:
-        """Full 32 valid stream bits starting at every bit position+off:
-        4-byte LE word shifted by the in-byte offset, topped up from the
-        5th byte (plain u32>>r alone leaves the high r bits zero)."""
-        u32 = (
-            ext[:, off : P + off]
-            | (ext[:, off + 1 : P + off + 1] << 8)
-            | (ext[:, off + 2 : P + off + 2] << 16)
-            | (ext[:, off + 3 : P + off + 3] << 24)
-        )
-        b4 = ext[:, off + 4 : P + off + 4]
-        r = jnp.arange(8, dtype=jnp.uint32)[None, None, :]
-        top = jnp.where(r > 0, b4[:, :, None] << ((32 - r) & 31), 0)
-        return ((u32[:, :, None] >> r) | top).reshape(L, B)
-
-    wbits = windows(0)
-    w32 = windows(4)  # the window 32 bits further on (distance follow)
+    b = [brow(k) for k in range(9)]
+    r = jax.lax.broadcasted_iota(jnp.uint32, (1, W_TILE_P, 1), 1) & 7
+    u32a = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+    wbits = (u32a >> r) | jnp.where(r > 0, b[4] << ((32 - r) & 31), 0)
+    u32b = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24)
+    w32 = (u32b >> r) | jnp.where(r > 0, b[8] << ((32 - r) & 31), 0)
 
     ln, lidx, lfound = _canon_decode(wbits, ll_first, ll_base, ll_count)
-    sym = _sym_lookup_320(ll_syms, lidx)
-    is_lit = lfound & (sym < 256)
-    is_eob = lfound & (sym == 256)
-    is_match = lfound & (sym > 256)
-    reserved_len = is_match & (sym > 285)
+    desc = _desc_lookup_320(ll_desc, lidx)
+    cls = desc & 3
+    run_bits = (desc >> 2) & 7
+    pay = desc >> 5
+    is_lit = lfound & (cls == 0)
+    is_eob = lfound & (cls == 1)
+    is_match = lfound & (cls >= 2)
+    reserved_len = lfound & (cls == 3)
 
-    run_base, run_bits = _run_base_extra(sym)
     lnu = ln.astype(jnp.uint32)
-    run = run_base + ((wbits >> lnu).astype(jnp.int32) & ((1 << run_bits) - 1))
+    run = (pay + 3) + ((wbits >> lnu).astype(jnp.int32) & ((1 << run_bits) - 1))
     d1 = ln + jnp.where(is_match, run_bits, 0)  # bits before the dist code
 
     # Follow window: pure elementwise splice of the two 32-bit windows
-    # (d1 <= 20, so >= 12 + 32 - 20 = 24... in fact 44 valid bits remain).
+    # (d1 <= 20, so >= 44 valid bits remain after the splice).
     d1u = d1.astype(jnp.uint32)
     hi_part = jnp.where(d1 > 0, w32 << ((32 - d1) & 31).astype(jnp.uint32), 0)
     w2 = (wbits >> d1u) | hi_part
 
     dln, didx, dfound = _canon_decode(w2, d_first, d_base, d_count)
-    dsym = _sym_select32(d_syms, didx)
-    dist_base, dist_bits = _dist_base_extra(dsym)
-    dist = dist_base + ((w2 >> dln.astype(jnp.uint32)).astype(jnp.int32) & ((1 << dist_bits) - 1))
+    dd = _desc_select32(d_desc, didx)
+    dist_bits = (dd >> 15) & 15
+    reserved_dist = (dd >> 19) != 0
+    dist = (dd & 0x7FFF) + 1 + (
+        (w2 >> dln.astype(jnp.uint32)).astype(jnp.int32) & ((1 << dist_bits) - 1)
+    )
 
-    pos = jnp.arange(B, dtype=jnp.int32)[None, :]
-    bits = payload_bits[:, None]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, W_TILE_P, 1), 1) + W_TILE_P * (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, NT), 2)
+    )
+    bits = _lane_bc(payload_bits, 3)
     end_len = pos + ln
     end_run = end_len + jnp.where(is_match, run_bits, 0)
     end_dcode = end_run + dln
     end_all = end_dcode + dist_bits
 
     # Reference-ordered per-position error classification.
-    errc = jnp.zeros((L, B), jnp.int32)
+    errc = jnp.zeros((L, W_TILE_P, NT), jnp.int32)
 
     def _set(errc, cond, code):
         return jnp.where((errc == 0) & cond, code, errc)
@@ -334,20 +404,18 @@ def stage_a(
     errc = _set(errc, end_len > bits, _ERR_END)
     errc = _set(errc, reserved_len, _ERR_RESERVED_LEN)
     errc = _set(errc, is_match & (end_run > bits), _ERR_END)
-    errc = _set(errc, is_match & dist_empty[:, None], _ERR_EMPTY_DIST)
+    errc = _set(errc, is_match & _lane_bc(dist_empty, 3), _ERR_EMPTY_DIST)
     errc = _set(errc, is_match & ~dfound, _ERR_END)
     errc = _set(errc, is_match & (end_dcode > bits), _ERR_END)
-    errc = _set(errc, is_match & (dsym > 29), _ERR_RESERVED_DIST)
+    errc = _set(errc, is_match & reserved_dist, _ERR_RESERVED_DIST)
     errc = _set(errc, is_match & (end_all > bits), _ERR_END)
 
     adv = jnp.where(is_match, end_all, end_len) - pos
-    delta = jnp.where(errc != 0, SENT_ERR, jnp.where(is_eob, SENT_EOB, adv)).astype(
-        jnp.uint8
-    )
+    delta = jnp.where(errc != 0, SENT_ERR, jnp.where(is_eob, SENT_EOB, adv))
 
     token = jnp.where(
         is_lit,
-        sym,
+        pay,
         TOKEN_MATCH_BIT | (jnp.clip(run, 3, 258) << 16) | jnp.clip(dist - 1, 0, 65535),
     )
     token = jnp.where(is_eob, -(1 + ln), token)
@@ -655,14 +723,44 @@ def _p_buckets() -> tuple[int, ...]:
     return _P_BUCKETS
 
 
-def _decode_huffman_wave(wave: list[LaneState], runner=None) -> None:
-    """One batched device decode of each lane's current Huffman block."""
-    from . import decode_jax as dj
+def _lane_cap(P: int, lane_multiple: int) -> int:
+    """Largest lane-bucket whose padded wave stays under WAVE_BYTES_CAP."""
+    cap = max(WAVE_BYTES_CAP // max(P, 1), lane_multiple, V2_L_BUCKETS[0])
+    pick = V2_L_BUCKETS[0]
+    for b in V2_L_BUCKETS:
+        if b <= cap:
+            pick = b
+    return pick
 
+
+def _decode_huffman_wave(wave: list[LaneState], runner=None) -> None:
+    """Batched device decode of each lane's current Huffman block.
+
+    Lanes are grouped by padded-payload bucket before dispatch, so one
+    oversized member does not inflate the padding (and stage-A memory) of
+    every other lane in the wave; each group is further split to keep
+    L x P under WAVE_BYTES_CAP.
+    """
     if not wave:
         return
     for st in wave:
         st.bitpos_advanced = False
+    buckets = _p_buckets()
+    lane_multiple = getattr(runner, "lane_multiple", 1)
+    groups: dict[int, list[LaneState]] = {}
+    for st in wave:
+        avail = len(st.payload) - st.bitpos // 8
+        groups.setdefault(_bucket(max(min(avail, st.window), 1), buckets), []).append(st)
+    for P, grp in sorted(groups.items()):
+        lmax = _lane_cap(P, lane_multiple)
+        for base in range(0, len(grp), lmax):
+            _decode_huffman_subwave(grp[base : base + lmax], P, runner)
+
+
+def _decode_huffman_subwave(wave: list[LaneState], P: int, runner=None) -> None:
+    """One batched device decode over lanes sharing payload bucket P."""
+    from . import decode_jax as dj
+
     L_real = len(wave)
     L = _bucket(L_real, V2_L_BUCKETS)
     lane_multiple = getattr(runner, "lane_multiple", 1)
@@ -671,8 +769,7 @@ def _decode_huffman_wave(wave: list[LaneState], runner=None) -> None:
     shifts = [st.bitpos // 8 for st in wave]
     rems = [st.bitpos % 8 for st in wave]
     avail = [len(st.payload) - sh for st, sh in zip(wave, shifts)]
-    remain = [min(a, st.window) for a, st in zip(avail, wave)]
-    P = _bucket(max(max(remain), 1), _p_buckets())
+    remain = [min(a, st.window, P) for a, st in zip(avail, wave)]
     rows = np.zeros((L, P), np.uint8)
     row_bits = np.zeros(L, np.int64)
     start_bits = np.zeros(L, np.int64)
@@ -712,10 +809,23 @@ def _reparse_single(rows, row_bits, start_bits):
         return e.reason
 
 
+def _byte_grid(shifted: np.ndarray) -> np.ndarray:
+    """(L, P) payload rows -> (L, 64, NT+1) tile-major byte grid (host
+    transpose of small uint8 data; the +1 column is the zero tile past
+    the end so stage A's 9-byte lookahead never wraps)."""
+    L, P = shifted.shape
+    assert P % 64 == 0
+    NT = P // 64
+    grid = np.zeros((L, 64, NT + 1), np.uint8)
+    grid[:, :, :NT] = shifted.reshape(L, NT, 64).transpose(0, 2, 1)
+    return grid
+
+
 def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.ndarray]:
     """Host prep shared by all drivers: byte-shift rows so the block body
-    starts inside byte 0, and build canonical decode tables. Returns the
-    wave input dict (numpy) and the per-lane byte shift."""
+    starts inside byte 0, build the tile-major byte grid, and build the
+    canonical decode tables. Returns the wave input dict (numpy) and the
+    per-lane byte shift."""
     L, P = rows.shape
     shift2 = (hp.body_bitpos // 8).astype(np.int64)
     rem2 = (hp.body_bitpos % 8).astype(np.int32)
@@ -727,20 +837,29 @@ def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.n
     llt = canonical_tables(hp.litlen_lengths)
     dt = canonical_tables(hp.dist_lengths)
     w = {
-        "payload": shifted,
+        "grid": _byte_grid(shifted),
         "payload_bits": body_bits,
         "ll_first": llt["first"],
         "ll_base": llt["base"],
         "ll_count": llt["count"],
-        "ll_syms": _litlen_sym_table(llt["syms"]),
+        "ll_desc": _litlen_desc_table(llt["syms"]),
         "d_first": dt["first"],
         "d_base": dt["base"],
         "d_count": dt["count"],
-        "d_syms": dt["syms"][:, :32].copy(),
+        "d_desc": _dist_desc_table(dt["syms"][:, :32]),
         "dist_empty": hp.dist_empty,
         "rem": rem2,
     }
     return w, shift2
+
+
+def _stage_a_wave(w: dict):
+    """Run tiled stage A on a wave dict -> (delta_t, token_t) (L, 512, NT)."""
+    return stage_a(
+        w["grid"], w["payload_bits"],
+        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_desc"],
+        w["d_first"], w["d_base"], w["d_count"], w["d_desc"], w["dist_empty"],
+    )
 
 
 def _run_wave_device(w: dict, full_compact: bool = False):
@@ -753,17 +872,17 @@ def _run_wave_device(w: dict, full_compact: bool = False):
     measured 2.6x faster on this backend than the monolithic fused graph
     (XLA schedules the giant fusion poorly), with async dispatch hiding
     the per-call tunnel latency."""
-    delta, token = stage_a(
-        w["payload"], w["payload_bits"],
-        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
-        w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
-    )
-    L, B = delta.shape
-    delta_tiles = delta.reshape(L, B // W_TILE, W_TILE)
+    delta_t, token_t = _stage_a_wave(w)
+    L, W, NT = delta_t.shape
+    B = W * NT
+    delta = delta_t.transpose(0, 2, 1).reshape(L, B)
+    token = token_t.transpose(0, 2, 1).reshape(L, B)
+    delta8 = delta.astype(jnp.uint8)
+    delta_tiles = delta8.reshape(L, B // W_TILE, W_TILE)
     transfers = stage_b_transfers(delta_tiles)
     entries, final = stage_c_entries(transfers, w["rem"].astype(jnp.uint8))
     reached = stage_d_reached(delta_tiles, entries).reshape(L, B)
-    has_eob, eob_exit, err_code, out_total = stage_e_summary(delta, token, reached)
+    has_eob, eob_exit, err_code, out_total = stage_e_summary(delta8, token, reached)
     valid = reached & (delta < SENT_EOB)
     if full_compact:
         tokens, counts, overflow = compact_tokens_full(token, valid)
@@ -789,7 +908,8 @@ def compact_level2(tok1: jnp.ndarray):
 
 def _run_wave_pallas(w: dict, full_compact: bool = False):
     """Pallas-kernel wave pipeline (same 7-tuple contract as
-    ``_run_wave_device``): stage A (XLA elementwise/MXU) -> pallas
+    ``_run_wave_device``): tiled stage A (XLA elementwise/MXU, emits the
+    (L, 512, NT) kernel layout directly — no transposes) -> pallas
     stage B (VMEM cursor transfers, 512-bit tiles) -> XLA stage C
     (8x fewer tiles) -> pallas stage DC (replay + level-1 compaction +
     stage-E partials in one kernel) -> XLA level-2 compaction.
@@ -800,15 +920,8 @@ def _run_wave_pallas(w: dict, full_compact: bool = False):
     """
     from . import decode_pallas as dp
 
-    delta, token = stage_a(
-        w["payload"], w["payload_bits"],
-        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
-        w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
-    )
-    L, B = delta.shape
-    NT = B // dp.W_P
-    dt = delta.astype(jnp.int32).reshape(L, NT, dp.W_P).transpose(0, 2, 1)
-    tt = token.reshape(L, NT, dp.W_P).transpose(0, 2, 1)
+    dt, tt = _stage_a_wave(w)
+    L, _W, NT = dt.shape
     transfers = dp.stage_b_pallas(dt)
     entries, _final = stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))
     tokc, summ = dp.stage_dc_pallas(dt, tt, entries.astype(jnp.int32))
@@ -991,13 +1104,16 @@ def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 3) -> dict:
 
     Compresses ``data`` to the member-profile stream, stages every wave's
     inputs in HBM (host prep and upload untimed), then times the device
-    stages A-E + token compaction; a summed scalar pull at the end forces
-    materialization (block_until_ready does not block on the tunneled
-    relay backend). Reports throughput against both the uncompressed
-    bytes represented by the decoded token streams and the compressed
-    payload bytes scanned. LZ77 token resolution (host memcpy work) and
-    the host<->device link are *excluded* — this isolates how fast the
-    chip runs the serial-bottleneck Huffman/token decode.
+    stages A-E + token compaction through the same runner the engine uses
+    (pallas kernels on TPU backends); a summed scalar pull at the end
+    forces materialization (block_until_ready does not block on the
+    tunneled relay backend). Reports throughput against both the
+    uncompressed bytes represented by the decoded token streams and the
+    compressed payload bytes scanned. Stored-block members (the encoder's
+    fallback for incompressible lanes) are host memcpy work in every
+    engine and are excluded from both totals, as are LZ77 token
+    resolution (host memcpy) and the host<->device link — this isolates
+    how fast the chip runs the serial-bottleneck Huffman/token decode.
     """
     import time
 
@@ -1013,22 +1129,39 @@ def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 3) -> dict:
         gz = profile_compress_host(data)
     buf = np.frombuffer(gz, dtype=np.uint8)
     members = dj.split_members(buf)
-    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in members]
-    isize_total = int(sum(m.isize for m in members))
+    huff = [
+        m
+        for m in members
+        if m.payload_start < buf.size and ((int(buf[m.payload_start]) >> 1) & 3) != 0
+    ]
+    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in huff]
+    isize_total = int(sum(m.isize for m in huff))
     payload_total = sum(len(p) for p in payloads)
+    stored = len(members) - len(huff)
 
+    run = _run_wave_pallas if _use_pallas() else _run_wave_unfused
+    buckets = _p_buckets()
+
+    # Group payloads by padded bucket (same policy as the engine driver)
+    # so padding waste doesn't inflate the measured device work.
+    bygroup: dict[int, list[bytes]] = {}
+    for p in payloads:
+        bygroup.setdefault(_bucket(len(p), buckets), []).append(p)
     waves = []
-    for base in range(0, len(payloads), lanes):
-        w = _prep_wave(payloads[base : base + lanes], lanes)
-        waves.append({k: jax.device_put(jnp.asarray(v)) for k, v in w.items()})
+    for P, grp in sorted(bygroup.items()):
+        lmax = min(lanes, _lane_cap(P, 1))
+        for base in range(0, len(grp), lmax):
+            chunk = grp[base : base + lmax]
+            w = _prep_wave(chunk, _bucket(len(chunk), V2_L_BUCKETS), buckets=buckets)
+            waves.append({k: jax.device_put(jnp.asarray(v)) for k, v in w.items()})
     # Force staging before the clock starts.
-    force = sum(jnp.sum(w["payload"].astype(jnp.int32)) for w in waves)
+    force = sum(jnp.sum(w["grid"].astype(jnp.int32)) for w in waves)
     np.asarray(force)
 
     def run_all():
         acc = jnp.zeros((), jnp.int32)
         for w in waves:
-            tokens, counts, has_eob, eob_exit, err_code, out_total, ovf = _run_wave_unfused(w)
+            tokens, counts, has_eob, eob_exit, err_code, out_total, ovf = run(w)
             acc = acc + jnp.sum(out_total)
             acc = acc + jnp.sum(tokens[:, :: max(1, tokens.shape[1] // 64)])
             acc = acc + jnp.sum(counts) + jnp.sum(err_code) + ovf.astype(jnp.int32)
@@ -1041,51 +1174,18 @@ def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 3) -> dict:
         run_all()
         best = min(best, time.monotonic() - t0)
 
-    res = {
+    return {
         "lanes": lanes,
-        "members": len(payloads),
+        "members": len(huff),
+        "stored_members_excluded": stored,
+        "waves": len(waves),
+        "runner": "pallas" if run is _run_wave_pallas else "xla",
         "payload_mb": round(payload_total / 2**20, 1),
         "uncompressed_mb": round(isize_total / 2**20, 1),
         "decode_gbps": round(isize_total / best / 1e9, 4),
         "payload_gbps": round(payload_total / best / 1e9, 4),
         "note": "device Huffman/token stages only; LZ77 resolve + link excluded",
     }
-
-    # Per-stage breakdown on the first wave. Each stage is timed over
-    # `inner` back-to-back calls with one forcing pull, so the ~30-40 ms
-    # tunnel round-trip latency amortizes out of the per-call figure.
-    w = waves[0]
-    stages = {}
-    inner = 4
-
-    def _t(name, fn, *args):
-        out = fn(*args)
-        np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.int32)))  # warm
-        t0 = time.monotonic()
-        acc = jnp.zeros((), jnp.int32)
-        for _ in range(inner):
-            out = fn(*args)
-            acc = acc + jnp.sum(jax.tree.leaves(out)[0].astype(jnp.int32))
-        np.asarray(acc)
-        stages[name] = round((time.monotonic() - t0) / inner, 4)
-        return out
-
-    delta, token = _t(
-        "a", stage_a,
-        w["payload"], w["payload_bits"],
-        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_syms"],
-        w["d_first"], w["d_base"], w["d_count"], w["d_syms"], w["dist_empty"],
-    )
-    L, B = delta.shape
-    delta_tiles = delta.reshape(L, B // W_TILE, W_TILE)
-    transfers = _t("b", stage_b_transfers, delta_tiles)
-    entries, final = _t("c", stage_c_entries, transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))
-    reached = _t("d", stage_d_reached, delta_tiles, entries).reshape(L, B)
-    _t("e", stage_e_summary, delta, token, reached)
-    valid = reached & (delta < SENT_EOB)
-    _t("compact", compact_tokens, token, valid)
-    res["stage_seconds_wave0"] = stages
-    return res
 
 
 def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True, mesh=None) -> bytes:

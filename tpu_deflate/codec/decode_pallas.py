@@ -55,14 +55,16 @@ except Exception:  # pragma: no cover
 
 W_P = 512  # tile width in bits for the pallas path
 E_WIN = 48  # entry offsets tracked per tile (max bits of one symbol group)
-K1 = 256  # level-1 compacted token slots per tile
+K1 = 160  # level-1 compacted token slots per tile (overflow below 3.2 bits/sym)
 CT = 128  # tiles per kernel block (lane axis; Mosaic needs multiples of 128)
 _EOB_ADV = 4096
 _ERR_ADV = 8192
 
 # Payload byte buckets for the pallas path: multiples of 8192 so the
-# per-lane tile count NT = P/64 is a multiple of CT=128.
-P_BUCKETS_PALLAS = (8192, 16384, 24576, 32768, 40960, 65536, 262144, 1048576)
+# per-lane tile count NT = P/64 is a multiple of CT=128. 73728 matters:
+# a nearly-incompressible 64 KiB member's Huffman payload is just over
+# 65536, and without that bucket it would quadruple the whole wave.
+P_BUCKETS_PALLAS = (8192, 16384, 24576, 32768, 40960, 49152, 65536, 73728, 139264, 270336)
 
 
 def _adv_from_delta(d):

@@ -184,8 +184,8 @@ def sharded_decode(mesh: Mesh, axis: str = "data"):
     n = mesh.devices.size
 
     keys = (
-        "payload", "payload_bits", "ll_first", "ll_base", "ll_count",
-        "ll_syms", "d_first", "d_base", "d_count", "d_syms", "dist_empty", "rem",
+        "grid", "payload_bits", "ll_first", "ll_base", "ll_count",
+        "ll_desc", "d_first", "d_base", "d_count", "d_desc", "dist_empty", "rem",
     )
 
     @jax.jit

@@ -155,27 +155,52 @@ def canonical_tables(lengths: np.ndarray, max_len: int = MAX_CODE_LEN) -> dict:
     }
 
 
-def canonical_bounds(tables: dict, ml: int) -> np.ndarray:
-    """(L, 16) canonical tables -> (L, ml+1) int32 decode thresholds.
+def ladder_tables(tables: dict) -> dict:
+    """Canonical tables -> the bounds-ladder form the device decoder uses.
 
-    bound[l] = (first[l] + count[l]) << (ml - l): the exclusive upper
-    bound of length-l codes left-aligned in ml-bit space. Monotone
-    non-decreasing for valid codes (first[l]<<(ml-l) == bound[l-1] by the
-    canonical recurrence), so a reversed ml-bit prefix v has code length
-    len(v) = 1 + #{l : bound[l] <= v} — the comparison-ladder decode that
-    replaces the per-length range checks of ``_canon_decode``.
+    The device decodes a code from a 32-bit *reversed* window v (stream
+    bit p at bit 31, i.e. codes MSB-first) in one comparison ladder:
+
+        len(v) = 1 + #{l in 1..14 : v >= bound[l]}
+        idx(v) = (v >> (32 - len)) + base[len] - first[len]
+
+    where bound[l] = (first[l] + count[l]) << (32 - l) is the exclusive
+    upper bound of length-l codes left-aligned in 32-bit space (monotone
+    by the canonical recurrence first[l+1] = (first[l]+count[l]) << 1, ≙
+    the tree walk of ``decomp/Open.java:705-756`` as closed-form range
+    checks). Returned arrays:
+
+    - ``sat``  (L, 16) uint32: bound[l] saturated to 2**32-1;
+    - ``pack`` (L, 16) int32: per-ladder-step accumulator summand
+      ``(off[l+1]-off[l] + 2**16) + 2**20`` with off[l] = base[l]-first[l]
+      — the low 20 bits accumulate the canonical-index offset (biased;
+      off deltas are -(first[l]+count[l]) in [-2**15, 0]), bits 20+ count
+      the steps taken (= len-1). Where bound[l] == 2**32 (code space
+      complete at l) pack is 0, so the saturated compare can spuriously
+      fire at v == 2**32-1 and still contribute nothing — no per-step
+      "full" masking needed;
+    - ``nlive`` (L,) int32: total live codes; a decoded idx >= nlive is
+      exactly an over-range prefix (invalid code in an incomplete tree).
     """
     first = tables["first"].astype(np.int64)
     count = tables["count"].astype(np.int64)
-    L = first.shape[0]
-    bound = np.zeros((L, ml + 1), np.int64)
-    for l in range(1, ml + 1):
-        bound[:, l] = (first[:, l] + count[:, l]) << (ml - l)
-    return bound.astype(np.int32)
+    base = tables["base"].astype(np.int64)
+    L, C = first.shape
+    sat = np.zeros((L, 16), np.uint32)
+    pack = np.zeros((L, 16), np.int32)
+    off = base - first  # off[l] valid for l >= 1
+    for l in range(1, 15):
+        bound = (first[:, l] + count[:, l]) << (32 - l)
+        full = bound >= (1 << 32)
+        sat[:, l] = np.minimum(bound, (1 << 32) - 1).astype(np.uint32)
+        doff = off[:, l + 1] - off[:, l]
+        pack[:, l] = np.where(full, 0, (doff + (1 << 16)) + (1 << 20)).astype(np.int32)
+    nlive = (base[:, 15] + count[:, 15]).astype(np.int32)
+    return {"sat": sat, "pack": pack, "nlive": nlive}
 
 
 def _litlen_desc_table(syms: np.ndarray) -> np.ndarray:
-    """(L, 288) sorted litlen symbols -> (L, 64, 10) bf16 packed-descriptor
+    """(L, 288) sorted litlen symbols -> (L, 64, 10) int8 packed-descriptor
     table for the one-hot MXU lookup.
 
     Instead of looking up the raw symbol and re-deriving its class and
@@ -188,7 +213,7 @@ def _litlen_desc_table(syms: np.ndarray) -> np.ndarray:
         cls 3 = reserved symbol 286/287 (also used for table padding).
 
     Columns 0..4 hold desc&127 for the 5 64-row groups, 5..9 desc>>7
-    (<=63) — both halves integer-exact in one bf16 MXU pass.
+    (<=63) — both halves exact in one int8 MXU pass.
     ≙ the symbol->base/extra closed forms of ``decomp/Open.java:843-886``
     folded into the table build.
     """
@@ -204,9 +229,9 @@ def _litlen_desc_table(syms: np.ndarray) -> np.ndarray:
     pad = np.full((L, 320), 3, np.int32)  # padding decodes as reserved
     pad[:, : syms.shape[1]] = desc
     grid = pad.reshape(L, 5, 64).transpose(0, 2, 1)  # (L, 64, 5)
-    lo = (grid & 127).astype(np.float32)
-    hi = (grid >> 7).astype(np.float32)
-    return np.concatenate([lo, hi], axis=2).astype(jnp.bfloat16)
+    lo = (grid & 127).astype(np.int8)
+    hi = (grid >> 7).astype(np.int8)
+    return np.concatenate([lo, hi], axis=2)
 
 
 def _dist_desc_table(syms32: np.ndarray) -> np.ndarray:
@@ -232,36 +257,46 @@ def _lane_bc(v: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return v.reshape(v.shape[:1] + (1,) * (ndim - 1))
 
 
-def _canon_decode(w, first, base, count):
-    """Canonical range decode at every position.
+def _ladder_decode(v, sat, pack, nlive):
+    """Canonical bounds-ladder decode at every position.
 
-    w (L, ...) uint32 bit windows; tables (L, 16) int32. Returns
-    (code_len, canonical_index, found), all shaped like w — pure
-    elementwise work, no gathers.
+    v (L, ...) uint32 *reversed* windows (stream bit at MSB); sat/pack
+    (L, 16) and nlive (L,) from :func:`ladder_tables`. Returns
+    (code_len, canonical_index, found), all shaped like v — three
+    elementwise ops per candidate length, no gathers.
     """
-    shape = w.shape
-    nd = w.ndim
-    rev = jnp.zeros(shape, jnp.int32)
-    ln = jnp.zeros(shape, jnp.int32)
-    idx = jnp.zeros(shape, jnp.int32)
-    found = jnp.zeros(shape, bool)
-    for l in range(1, MAX_CODE_LEN + 1):
-        rev = (rev << 1) | ((w >> (l - 1)) & 1).astype(jnp.int32)
-        off = rev - _lane_bc(first[:, l], nd)
-        hit = (~found) & (off >= 0) & (off < _lane_bc(count[:, l], nd))
-        ln = jnp.where(hit, l, ln)
-        idx = jnp.where(hit, _lane_bc(base[:, l], nd) + off, idx)
-        found = found | hit
+    nd = v.ndim
+    acc = jnp.zeros(v.shape, jnp.int32)
+    for l in range(1, MAX_CODE_LEN):
+        ge = v >= _lane_bc(sat[:, l], nd)
+        acc = jnp.where(ge, acc + _lane_bc(pack[:, l], nd), acc)
+    cnt = acc >> 20
+    ln = 1 + cnt
+    off = (acc & 0xFFFFF) - (cnt << 16)
+    c = (v >> (31 - cnt).astype(jnp.uint32)).astype(jnp.int32)
+    idx = c + off
+    found = idx < _lane_bc(nlive, nd)
     return ln, idx, found
 
 
+def _rev_bits16(x, k):
+    """Reverse the low ``k`` bits of x (int32, x < 2**16, k <= 16)."""
+    x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+    x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+    x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+    x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+    return x >> (16 - k)
+
+
 def _desc_lookup_320(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """tbl (L, 64, 10) bf16 split descriptor table, idx (L, W, NT) int32
+    """tbl (L, 64, 10) int8 split descriptor table, idx (L, W, NT) int32
     in [0, 320) -> (L, W, NT) int32 descriptors.
 
-    One-hot over the low 6 index bits rides the MXU in a single bf16
-    pass (one-hot entries and both table halves are bf16-exact); the 5
-    row pairs are picked with a select chain and recombined as
+    One-hot over the low 6 index bits rides the MXU in a single int8
+    pass (both table halves are <= 127, so the int8 x int8 -> int32
+    contraction is exact, and the int8 one-hot halves the HBM traffic of
+    the materialized one-hot operand — the dominant cost of this lookup);
+    the 5 row pairs are picked with a select chain and recombined as
     lo + 128*hi. The W axis is processed in 64-row chunks under a scan
     so the one-hot never materializes more than (L, 64, NT, 64) at once
     (full-width one-hots OOM large waves).
@@ -276,19 +311,19 @@ def _desc_lookup_320(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         oh = (
             jax.lax.broadcasted_iota(jnp.int32, lo_c.shape + (64,), lo_c.ndim)
             == lo_c[..., None]
-        ).astype(jnp.bfloat16)
+        ).astype(jnp.int8)
         rows = jax.lax.dot_general(
             oh,
             tbl,
             (((3,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )  # (L, 64, NT, 10)
-        out_lo = jnp.zeros(lo_c.shape, jnp.float32)
-        out_hi = jnp.zeros(lo_c.shape, jnp.float32)
+        out_lo = jnp.zeros(lo_c.shape, jnp.int32)
+        out_hi = jnp.zeros(lo_c.shape, jnp.int32)
         for h in range(5):
             out_lo = jnp.where(hi_c == h, rows[..., h], out_lo)
             out_hi = jnp.where(hi_c == h, rows[..., 5 + h], out_hi)
-        return None, out_lo.astype(jnp.int32) | (out_hi.astype(jnp.int32) << 7)
+        return None, out_lo | (out_hi << 7)
 
     nc = W // 64
     xs = (
@@ -311,13 +346,13 @@ def _desc_select32(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def stage_a(
     grid: jnp.ndarray,  # (L, 64, NT+1) uint8 tile-major byte grid
     payload_bits: jnp.ndarray,  # (L,) int32 valid bits per lane
-    ll_first: jnp.ndarray,  # (L, 16) int32 litlen canonical tables
-    ll_base: jnp.ndarray,
-    ll_count: jnp.ndarray,
-    ll_desc: jnp.ndarray,  # (L, 64, 10) bf16 packed litlen descriptors
-    d_first: jnp.ndarray,  # (L, 16) int32 distance canonical tables
-    d_base: jnp.ndarray,
-    d_count: jnp.ndarray,
+    ll_sat: jnp.ndarray,  # (L, 16) uint32 litlen ladder bounds
+    ll_pack: jnp.ndarray,  # (L, 16) int32 litlen ladder summands
+    ll_nlive: jnp.ndarray,  # (L,) int32 live litlen codes
+    ll_desc: jnp.ndarray,  # (L, 64, 10) int8 packed litlen descriptors
+    d_sat: jnp.ndarray,  # (L, 16) uint32 distance ladder bounds
+    d_pack: jnp.ndarray,  # (L, 16) int32 distance ladder summands
+    d_nlive: jnp.ndarray,  # (L,) int32 live distance codes
     d_desc: jnp.ndarray,  # (L, 32) int32 packed distance descriptors
     dist_empty: jnp.ndarray,  # (L,) bool
 ):
@@ -328,6 +363,12 @@ def stage_a(
     Bit position p = t*512 + s lives at [:, s, t] of every produced
     array — exactly the (sublane=bit, lane=tile) layout the pallas cursor
     kernels consume, so no transposes appear anywhere in the pipeline.
+
+    The payload bytes are bit-reversed on device (3 shift/mask stages on
+    the small byte grid) so every window is MSB-first and both Huffman
+    decodes run as bounds ladders (:func:`_ladder_decode`, 3 ops per
+    candidate length); extra-bits fields come out of the same reversed
+    windows via a 4-stage rev16.
 
     Returns (delta, token), both (L, 512, NT) int32:
     - delta: bits consumed by the symbol group at each position (1..48),
@@ -341,23 +382,31 @@ def stage_a(
     L, WB, NTp = grid.shape
     assert WB == 64
     NT = NTp - 1
-    g32 = grid.astype(jnp.uint32)
+    g = grid
+    g = ((g & 0x55) << 1) | ((g >> 1) & 0x55)
+    g = ((g & 0x33) << 2) | ((g >> 2) & 0x33)
+    g32 = (g.astype(jnp.uint32) & 0x0F) << 4 | (g.astype(jnp.uint32) >> 4)
 
     def brow(k: int) -> jnp.ndarray:
-        """(L, 512, NT) uint32: byte (s//8 + k) of tile t at row s."""
+        """(L, 64, NT) uint32: reversed byte (s//8 + k) of tile t, row-level."""
         a = g32[:, k:, :NT]
         if k:
             a = jnp.concatenate([a, g32[:, :k, 1 : NT + 1]], axis=1)
-        return jnp.repeat(a, 8, axis=1)
+        return a
 
+    # Assemble the byte-aligned 32-bit words at row granularity (1/8 the
+    # elements), then repeat — the per-bit arrays stay few and fused.
     b = [brow(k) for k in range(9)]
+    u32a = jnp.repeat((b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3], 8, axis=1)
+    u32b = jnp.repeat((b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7], 8, axis=1)
+    b4 = jnp.repeat(b[4], 8, axis=1)
+    b8 = jnp.repeat(b[8], 8, axis=1)
     r = jax.lax.broadcasted_iota(jnp.uint32, (1, W_TILE_P, 1), 1) & 7
-    u32a = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
-    wbits = (u32a >> r) | jnp.where(r > 0, b[4] << ((32 - r) & 31), 0)
-    u32b = b[4] | (b[5] << 8) | (b[6] << 16) | (b[7] << 24)
-    w32 = (u32b >> r) | jnp.where(r > 0, b[8] << ((32 - r) & 31), 0)
+    # Reversed windows: stream bit p at bit 31 of vR, p+32 at bit 31 of vR2.
+    vR = (u32a << r) | (b4 >> (8 - r))
+    vR2 = (u32b << r) | (b8 >> (8 - r))
 
-    ln, lidx, lfound = _canon_decode(wbits, ll_first, ll_base, ll_count)
+    ln, lidx, lfound = _ladder_decode(vR, ll_sat, ll_pack, ll_nlive)
     desc = _desc_lookup_320(ll_desc, lidx)
     cls = desc & 3
     run_bits = (desc >> 2) & 7
@@ -367,23 +416,21 @@ def stage_a(
     is_match = lfound & (cls >= 2)
     reserved_len = lfound & (cls == 3)
 
-    lnu = ln.astype(jnp.uint32)
-    run = (pay + 3) + ((wbits >> lnu).astype(jnp.int32) & ((1 << run_bits) - 1))
+    rev = (vR >> (32 - ln - run_bits).astype(jnp.uint32)).astype(jnp.int32)
+    run = (pay + 3) + _rev_bits16(rev & ((1 << run_bits) - 1), run_bits)
     d1 = ln + jnp.where(is_match, run_bits, 0)  # bits before the dist code
 
-    # Follow window: pure elementwise splice of the two 32-bit windows
-    # (d1 <= 20, so >= 44 valid bits remain after the splice).
+    # Follow window: pure elementwise splice of the two reversed windows
+    # (1 <= d1 <= 20, so >= 44 valid bits remain after the splice).
     d1u = d1.astype(jnp.uint32)
-    hi_part = jnp.where(d1 > 0, w32 << ((32 - d1) & 31).astype(jnp.uint32), 0)
-    w2 = (wbits >> d1u) | hi_part
+    vD = (vR << d1u) | (vR2 >> (32 - d1u))
 
-    dln, didx, dfound = _canon_decode(w2, d_first, d_base, d_count)
+    dln, didx, dfound = _ladder_decode(vD, d_sat, d_pack, d_nlive)
     dd = _desc_select32(d_desc, didx)
     dist_bits = (dd >> 15) & 15
     reserved_dist = (dd >> 19) != 0
-    dist = (dd & 0x7FFF) + 1 + (
-        (w2 >> dln.astype(jnp.uint32)).astype(jnp.int32) & ((1 << dist_bits) - 1)
-    )
+    drev = (vD >> (32 - dln - dist_bits).astype(jnp.uint32)).astype(jnp.int32)
+    dist = (dd & 0x7FFF) + 1 + _rev_bits16(drev & ((1 << dist_bits) - 1), dist_bits)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, W_TILE_P, 1), 1) + W_TILE_P * (
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, NT), 2)
@@ -836,16 +883,18 @@ def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.n
     body_bits = (row_bits - shift2 * 8).astype(np.int32)
     llt = canonical_tables(hp.litlen_lengths)
     dt = canonical_tables(hp.dist_lengths)
+    lad = ladder_tables(llt)
+    dlad = ladder_tables(dt)
     w = {
         "grid": _byte_grid(shifted),
         "payload_bits": body_bits,
-        "ll_first": llt["first"],
-        "ll_base": llt["base"],
-        "ll_count": llt["count"],
+        "ll_sat": lad["sat"],
+        "ll_pack": lad["pack"],
+        "ll_nlive": lad["nlive"],
         "ll_desc": _litlen_desc_table(llt["syms"]),
-        "d_first": dt["first"],
-        "d_base": dt["base"],
-        "d_count": dt["count"],
+        "d_sat": dlad["sat"],
+        "d_pack": dlad["pack"],
+        "d_nlive": dlad["nlive"],
         "d_desc": _dist_desc_table(dt["syms"][:, :32]),
         "dist_empty": hp.dist_empty,
         "rem": rem2,
@@ -857,8 +906,8 @@ def _stage_a_wave(w: dict):
     """Run tiled stage A on a wave dict -> (delta_t, token_t) (L, 512, NT)."""
     return stage_a(
         w["grid"], w["payload_bits"],
-        w["ll_first"], w["ll_base"], w["ll_count"], w["ll_desc"],
-        w["d_first"], w["d_base"], w["d_count"], w["d_desc"], w["dist_empty"],
+        w["ll_sat"], w["ll_pack"], w["ll_nlive"], w["ll_desc"],
+        w["d_sat"], w["d_pack"], w["d_nlive"], w["d_desc"], w["dist_empty"],
     )
 
 

@@ -184,8 +184,8 @@ def sharded_decode(mesh: Mesh, axis: str = "data"):
     n = mesh.devices.size
 
     keys = (
-        "grid", "payload_bits", "ll_first", "ll_base", "ll_count",
-        "ll_desc", "d_first", "d_base", "d_count", "d_desc", "dist_empty", "rem",
+        "grid", "payload_bits", "ll_sat", "ll_pack", "ll_nlive",
+        "ll_desc", "d_sat", "d_pack", "d_nlive", "d_desc", "dist_empty", "rem",
     )
 
     @jax.jit

@@ -56,7 +56,7 @@ def main():
     huff = [m for m in members if ((int(buf[m.payload_start]) >> 1) & 3) != 0]
     payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in huff][:lanes]
     w = v2._prep_wave(payloads, lanes, buckets=dp.P_BUCKETS_PALLAS)
-    w = {k: jax.device_put(jnp.asarray(v)) for k, v in w.items()}
+    w = {k: v if k.startswith("_") else jax.device_put(jnp.asarray(v)) for k, v in w.items()}
     np.asarray(sum(jnp.sum(x.astype(jnp.int32)) for x in w.values() if hasattr(x, "astype")))
     payload_mb = sum(len(p) for p in payloads) / 2**20
     print(f"wave: {lanes} lanes, grid {w['grid'].shape}, real payload {payload_mb:.2f} MiB")
@@ -66,14 +66,16 @@ def main():
     transfers = dp.stage_b_pallas(dt)
     entries, _final = v2.stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))
     entries = jax.device_put(entries.astype(jnp.int32))
-    tokc, summ = dp.stage_dc_pallas(dt, tt, entries)
+    bound = v2.W_TILE_P // max(int(w.get("_min_tok_bits", 1)), 1) + 1
+    k1 = next((k for k in dp.K1_CHOICES if bound <= k), dp.K1_CHOICES[-1])
+    tokc, summ = dp.stage_dc_pallas(dt, tt, entries, k1=k1)
 
     stages = {
         "a": lambda: v2._stage_a_wave(w)[1],
         "b_pallas": lambda: dp.stage_b_pallas(dt),
         "c": lambda: v2.stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))[0],
-        "dc_pallas": lambda: dp.stage_dc_pallas(dt, tt, entries)[0],
-        "compact2": lambda: v2.compact_level2(tokc.reshape(L, NT * dp.K1)),
+        "dc_pallas": lambda: dp.stage_dc_pallas(dt, tt, entries, k1=k1)[0],
+        "compact2": lambda: v2.compact_level2(tokc.reshape(L, NT * k1)),
     }
     total = 0.0
     for name, fn in stages.items():

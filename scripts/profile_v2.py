@@ -50,7 +50,7 @@ def main():
     huff = [m for m in members if ((int(buf[m.payload_start]) >> 1) & 3) != 0]
     payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in huff][:lanes]
     w = v2._prep_wave(payloads, lanes)
-    w = {k: jax.device_put(jnp.asarray(v)) for k, v in w.items()}
+    w = {k: v if k.startswith("_") else jax.device_put(jnp.asarray(v)) for k, v in w.items()}
     np.asarray(sum(jnp.sum(x.astype(jnp.int32)) for x in w.values() if hasattr(x, "astype")))
     payload_mb = sum(len(p) for p in payloads) / 2**20
     print(f"wave: {lanes} lanes, grid {w['grid'].shape}, real payload {payload_mb:.2f} MiB")

@@ -110,6 +110,16 @@ TOKEN_MATCH_BIT = 1 << 26
 # is immediately end-of-block (bits: bfinal=1, btype=01, EOB 0000000).
 _PAD_PAYLOAD = bytes([0x03, 0x00])
 
+# The identity transfer function in stage C's packed-word form (entry e
+# maps to e; 4 entries per uint32 word).
+_ID_PACKED = np.array(
+    [
+        (4 * w) | ((4 * w + 1) << 8) | ((4 * w + 2) << 16) | ((4 * w + 3) << 24)
+        for w in range(ENTRY_WIN // 4)
+    ],
+    np.uint32,
+)
+
 
 def _bucket(value: int, buckets: tuple[int, ...]) -> int:
     for b in buckets:
@@ -509,23 +519,89 @@ def stage_c_entries(transfers: jnp.ndarray, entry0: jnp.ndarray):
     Returns entries (L, NT) uint8 (value in [0, ENTRY_WIN) or sentinel)
     and the final state (L,): SENT_EOB (clean), SENT_ERR (decode error),
     or a small offset (ran off the payload without EOB).
+
+    The 48-entry transfer functions are packed 4 entries per uint32 word
+    in a (L, 12, NT) layout (minor axis = tiles), so composing two
+    functions evaluates b[a[e]] with a 12-way word select + variable
+    byte shift per entry (~16 ops) instead of a 48-way byte select, and
+    every elementwise op runs over the well-shaped tile axis. When NT is
+    a multiple of 128 the prefix runs as a Hillis-Steele scan over the
+    128-tile lane groups (7 roll+compose levels, no strided slicing)
+    plus tiny sequential cross-group carries; otherwise it falls back to
+    ``associative_scan``.
     """
     L, NT, E = transfers.shape
+    assert E == ENTRY_WIN and E % 4 == 0
+    if NT % 128 != 0:
+        # XLA-twin tile sizes: plain byte-select compose under
+        # associative_scan (compiles fast everywhere).
+        def compose8(a, b):
+            out = jnp.full_like(a, jnp.uint8(SENT_ERR))
+            for j in range(E):
+                out = jnp.where(a == j, b[..., j : j + 1], out)
+            return jnp.where(a >= SENT_EOB, a, out)
+
+        prefix8 = jax.lax.associative_scan(compose8, transfers, axis=1)
+        applied8 = jnp.full((L, NT), SENT_ERR, dtype=jnp.uint8)
+        for j in range(E):
+            applied8 = jnp.where(entry0[:, None] == j, prefix8[:, :, j], applied8)
+        entries = jnp.concatenate(
+            [entry0.astype(jnp.uint8)[:, None], applied8[:, :-1]], axis=1
+        )
+        return entries, applied8[:, -1]
+
+    NW = E // 4
+    t = transfers.astype(jnp.uint32).reshape(L, NT, NW, 4)
+    packed = t[..., 0] | (t[..., 1] << 8) | (t[..., 2] << 16) | (t[..., 3] << 24)
+    packed = packed.transpose(0, 2, 1)  # (L, NW, NT)
+
+    def eval_at(b, x):
+        # b (L, NW, ...) packed function; x (L, ...) entry values ->
+        # b[x] (sentinels pass through); trailing dims broadcast.
+        v = jnp.zeros_like(jnp.broadcast_to(x, jnp.broadcast_shapes(x.shape, b[:, 0].shape)))
+        wi_x = x >> 2
+        for wi in range(NW):
+            v = jnp.where(wi_x == wi, b[:, wi], v)
+        v = (v >> ((x & 3) << 3)) & 0xFF
+        return jnp.where(x >= SENT_EOB, x, v)
 
     def compose(a, b):
-        # c[e] = a[e] terminal ? a[e] : b[a[e]]
-        out = jnp.full_like(a, jnp.uint8(SENT_ERR))
-        for j in range(E):
-            out = jnp.where(a == j, b[..., j : j + 1], out)
-        out = jnp.where(a >= SENT_EOB, a, out)
-        return out
+        # c[e] = a[e] terminal ? a[e] : b[a[e]], on packed words
+        words = []
+        for wi in range(NW):
+            byts = [
+                eval_at(b, (a[:, wi] >> (8 * j)) & 0xFF) << (8 * j)
+                for j in range(4)
+            ]
+            words.append(byts[0] | byts[1] | byts[2] | byts[3])
+        return jnp.stack(words, axis=1)
 
-    prefix = jax.lax.associative_scan(compose, transfers, axis=1)  # inclusive
-    applied = jnp.full((L, NT), SENT_ERR, dtype=jnp.uint8)
-    for j in range(E):
-        applied = jnp.where(entry0[:, None] == j, prefix[:, :, j], applied)
-    entries = jnp.concatenate([entry0.astype(jnp.uint8)[:, None], applied[:, :-1]], axis=1)
-    final = applied[:, -1]
+    G = NT // 128
+    x = packed.reshape(L, NW, G, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 128), 3)
+    for k in range(7):
+        s = 1 << k
+        comp = compose(jnp.roll(x, s, axis=3), x)
+        x = jnp.where(lane >= s, comp, x)
+    # Cross-group carries: Hillis-Steele over the group axis, then shift
+    # to exclusive form (identity at group 0).
+    tot = x[:, :, :, 127]  # (L, NW, G) per-group totals
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, G), 2)
+    p = tot
+    k = 0
+    while (1 << k) < G:
+        s = 1 << k
+        p = jnp.where(gidx >= s, compose(jnp.roll(p, s, axis=2), p), p)
+        k += 1
+    ident = jnp.asarray(_ID_PACKED, jnp.uint32)[None, :, None]
+    c = jnp.where(gidx == 0, ident, jnp.roll(p, 1, axis=2))
+    prefix = compose(c[..., None], x).reshape(L, NW, NT)
+    e0 = jnp.broadcast_to(entry0.astype(jnp.uint32)[:, None], (L, NT))
+    applied = eval_at(prefix, e0)
+    entries = jnp.concatenate(
+        [entry0.astype(jnp.uint8)[:, None], applied[:, :-1].astype(jnp.uint8)], axis=1
+    )
+    final = applied[:, -1].astype(jnp.uint8)
     return entries, final
 
 
@@ -885,7 +961,17 @@ def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.n
     dt = canonical_tables(hp.dist_lengths)
     lad = ladder_tables(llt)
     dlad = ladder_tables(dt)
+    # Shortest bits one token can consume across the wave: a literal/EOB
+    # costs its litlen code; a match costs its length symbol's code plus
+    # a distance code. This statically bounds tokens per 512-bit tile —
+    # the pallas runner picks the level-1 slot count (k1) from it.
+    ll, dl = hp.litlen_lengths, hp.dist_lengths
+    min_lit = int(np.where(ll[:, :257] > 0, ll[:, :257], 99).min())
+    min_len = int(np.where(ll[:, 257:] > 0, ll[:, 257:], 99).min())
+    min_dist = int(np.where(dl > 0, dl, 99).min())
+    min_tok = min(min_lit, min_len + min_dist)
     w = {
+        "_min_tok_bits": min_tok,
         "grid": _byte_grid(shifted),
         "payload_bits": body_bits,
         "ll_sat": lad["sat"],
@@ -957,23 +1043,48 @@ def compact_level2(tok1: jnp.ndarray):
 
 def _run_wave_pallas(w: dict, full_compact: bool = False):
     """Pallas-kernel wave pipeline (same 7-tuple contract as
-    ``_run_wave_device``): tiled stage A (XLA elementwise/MXU, emits the
+    ``_run_wave_device``), dispatched as ONE jitted program per wave
+    shape — per-call launch overhead on tunneled backends costs more
+    than every kernel combined (measured: 9 waves unfused 170 ms vs
+    fused 75 ms), and unlike the all-XLA graph the pallas custom calls
+    keep the scheduler honest inside the single program.
+    """
+    kw = {k: v for k, v in w.items() if not k.startswith("_")}
+    return _run_wave_pallas_jit(w.get("_min_tok_bits", 1), **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("mtb",))
+def _run_wave_pallas_jit(mtb: int, **kw):
+    kw["_min_tok_bits"] = mtb
+    return _run_wave_pallas_impl(kw)
+
+
+def _run_wave_pallas_impl(w: dict):
+    """Pallas wave body: tiled stage A (XLA elementwise/MXU, emits the
     (L, 512, NT) kernel layout directly — no transposes) -> pallas
     stage B (VMEM cursor transfers, 512-bit tiles) -> XLA stage C
     (8x fewer tiles) -> pallas stage DC (replay + level-1 compaction +
     stage-E partials in one kernel) -> XLA level-2 compaction.
 
-    On level-1 overflow (more than K1 chain tokens in one 512-bit tile —
+    On level-1 overflow (more than k1 chain tokens in one 512-bit tile —
     degenerate short-code streams) the driver reruns the wave through the
     XLA fallback, so ``overflow`` propagates unchanged.
     """
     from . import decode_pallas as dp
 
+    # Level-1 slot count: smallest safe bound from the wave's shortest
+    # possible token (tokens/tile <= W_P/min_token_bits + 1). Beyond the
+    # largest choice, overflow stays possible and the driver's rerun-
+    # with-full-compaction fallback covers it (degenerate <=2-bit
+    # tokens only).
+    bound = W_TILE_P // max(int(w.get("_min_tok_bits", 1)), 1) + 1
+    k1 = next((k for k in dp.K1_CHOICES if bound <= k), dp.K1_CHOICES[-1])
+
     dt, tt = _stage_a_wave(w)
     L, _W, NT = dt.shape
     transfers = dp.stage_b_pallas(dt)
     entries, _final = stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))
-    tokc, summ = dp.stage_dc_pallas(dt, tt, entries.astype(jnp.int32))
+    tokc, summ = dp.stage_dc_pallas(dt, tt, entries.astype(jnp.int32), k1=k1)
 
     counts = jnp.sum(summ[:, dp.ROW_COUNT, :], axis=1)
     eob_hit = summ[:, dp.ROW_EOB_HIT, :]
@@ -988,7 +1099,7 @@ def _run_wave_pallas(w: dict, full_compact: bool = False):
     out_total = jnp.sum(summ[:, dp.ROW_SIZE_SUM, :], axis=1)
     overflow = jnp.sum(summ[:, dp.ROW_OVERFLOW, :]) > 0
 
-    tokens = compact_level2(tokc.reshape(L, NT * dp.K1))
+    tokens = compact_level2(tokc.reshape(L, NT * k1))
     return tokens, counts, has_eob, eob_exit, err_code, out_total, overflow
 
 
@@ -1202,7 +1313,9 @@ def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 3) -> dict:
         for base in range(0, len(grp), lmax):
             chunk = grp[base : base + lmax]
             w = _prep_wave(chunk, _bucket(len(chunk), V2_L_BUCKETS), buckets=buckets)
-            waves.append({k: jax.device_put(jnp.asarray(v)) for k, v in w.items()})
+            waves.append(
+                {k: v if k.startswith("_") else jax.device_put(jnp.asarray(v)) for k, v in w.items()}
+            )
     # Force staging before the clock starts.
     force = sum(jnp.sum(w["grid"].astype(jnp.int32)) for w in waves)
     np.asarray(force)

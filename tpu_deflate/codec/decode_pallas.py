@@ -55,7 +55,12 @@ except Exception:  # pragma: no cover
 
 W_P = 512  # tile width in bits for the pallas path
 E_WIN = 48  # entry offsets tracked per tile (max bits of one symbol group)
-K1 = 160  # level-1 compacted token slots per tile (overflow below 3.2 bits/sym)
+K1 = 160  # default level-1 token slots per tile (3.2 bits/sym floor)
+# Host-chosen K1 per wave: floor(W_P/min_token_bits)+1 bounds the tokens a
+# 512-bit tile can hold (min_token_bits = shortest literal code or shortest
+# length+distance code pair), so the wave driver picks the smallest safe
+# slot count — smaller K1 => cheaper level-2 compaction, no overflow risk.
+K1_CHOICES = (104, 176)
 CT = 128  # tiles per kernel block (lane axis; Mosaic needs multiples of 128)
 _EOB_ADV = 4096
 _ERR_ADV = 8192
@@ -88,11 +93,10 @@ def _stage_b_kernel(d_ref, out_ref):
 
     def body(s8, cur):
         base = pl.multiple_of(s8 * 8, 8)
-        blk = d_ref[0, pl.ds(base, 8), :]
+        badv = _adv_from_delta(d_ref[0, pl.ds(base, 8), :])
         for k in range(8):
-            adv = _adv_from_delta(blk[k, :])
             s = base + k
-            cur = cur + jnp.where(cur == s, adv[None, :], 0)
+            cur = cur + jnp.where(cur == s, badv[k, :][None, :], 0)
         return cur
 
     cur = jax.lax.fori_loop(0, W_P // 8, body, cur)
@@ -133,21 +137,24 @@ def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref, reach_ref):
 
     d_ref/t_ref (1, W, CT) int32 delta/token tiles; e_ref (1, 8, CT)
     int32 with row 0 = entry offsets (0..47 live, >=127 dead).
-    tok_ref (1, K1, CT) int32 compacted tokens (-1 padding);
+    tok_ref (1, K1, CT) int32 compacted tokens (-1 padding; K1 comes
+    from the block shape — the wave driver picks it per wave from the
+    minimum litlen code length, which statically bounds tokens/tile);
     sum_ref (1, 8, CT) int32 per-tile summary rows (see ROW_*);
     reach_ref (W, CT) int32 VMEM scratch for the reached bitmap.
     """
+    k1 = tok_ref.shape[1]
     entry = e_ref[0, 0, :]
     cur0 = jnp.where(entry < E_WIN, entry, 100000)
 
     def body(s8, cur):
         base = pl.multiple_of(s8 * 8, 8)
-        blk = d_ref[0, pl.ds(base, 8), :]
+        badv = _adv_from_delta(d_ref[0, pl.ds(base, 8), :])
         rows = []
         for k in range(8):
             at = (cur == base + k).astype(jnp.int32)
             rows.append(at)
-            cur = cur + at * _adv_from_delta(blk[k, :])
+            cur = cur + at * badv[k, :]
         reach_ref[pl.ds(base, 8), :] = jnp.stack(rows, axis=0)
         return cur
 
@@ -173,7 +180,7 @@ def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref, reach_ref):
             jnp.sum(valid * size, axis=0),  # ROW_SIZE_SUM
             jnp.sum(is_eob, axis=0),  # ROW_EOB_HIT
             jnp.sum(is_err, axis=0),  # ROW_ERR_HIT
-            (counts > K1).astype(jnp.int32),  # ROW_OVERFLOW
+            (counts > k1).astype(jnp.int32),  # ROW_OVERFLOW
         ],
         axis=0,
     )
@@ -196,7 +203,7 @@ def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref, reach_ref):
         disp = jnp.where(take, d_right - sh, jnp.where(self_mv, -1, disp))
         tokv = jnp.where(take, t_right, jnp.where(self_mv, -1, tokv))
         sh *= 2
-    tok_ref[0] = tokv[:K1, :]
+    tok_ref[0] = tokv[:k1, :]
 
 
 # ---------------------------------------------------------------------------
@@ -217,10 +224,10 @@ def stage_b_pallas(delta_t: jnp.ndarray, *, interpret: bool | None = None) -> jn
     return _stage_b_jit(delta_t, interpret=interpret)
 
 
-def stage_dc_pallas(delta_t, token_t, entries, *, interpret: bool | None = None):
+def stage_dc_pallas(delta_t, token_t, entries, *, k1: int = K1, interpret: bool | None = None):
     if interpret is None:
         interpret = _interpret_default()
-    return _stage_dc_jit(delta_t, token_t, entries, interpret=interpret)
+    return _stage_dc_jit(delta_t, token_t, entries, k1=k1, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -243,15 +250,16 @@ def _stage_b_jit(delta_t: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarra
     return out[:, :E_WIN, :].transpose(0, 2, 1).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("k1", "interpret"))
 def _stage_dc_jit(
     delta_t: jnp.ndarray,  # (L, W_P, NT) int32
     token_t: jnp.ndarray,  # (L, W_P, NT) int32
     entries: jnp.ndarray,  # (L, NT) int32 (0..47 live, >=127 dead)
     *,
+    k1: int = K1,
     interpret: bool = False,
 ):
-    """Returns (tokens_l1 (L, NT, K1) int32, summary (L, 8, NT) int32)."""
+    """Returns (tokens_l1 (L, NT, k1) int32, summary (L, 8, NT) int32)."""
     L, W, NT = delta_t.shape
     assert W == W_P and NT % CT == 0
     ent8 = jnp.broadcast_to(entries[:, None, :], (L, 8, NT)).astype(jnp.int32)
@@ -264,11 +272,11 @@ def _stage_dc_jit(
             pl.BlockSpec((1, 8, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, K1, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k1, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((L, K1, NT), jnp.int32),
+            jax.ShapeDtypeStruct((L, k1, NT), jnp.int32),
             jax.ShapeDtypeStruct((L, 8, NT), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((W_P, CT), jnp.int32)],

@@ -874,14 +874,33 @@ def _decode_huffman_wave(wave: list[LaneState], runner=None) -> None:
     for st in wave:
         avail = len(st.payload) - st.bitpos // 8
         groups.setdefault(_bucket(max(min(avail, st.window), 1), buckets), []).append(st)
+    # Two phases: dispatch every subwave's device program first (uploads
+    # and kernels of different subwaves overlap — the device queue stays
+    # full), then pull and apply results. Per-subwave sync was the e2e
+    # bottleneck on tunneled backends.
+    pending = []
     for P, grp in sorted(groups.items()):
         lmax = _lane_cap(P, lane_multiple)
         for base in range(0, len(grp), lmax):
-            _decode_huffman_subwave(grp[base : base + lmax], P, runner)
+            pend = _decode_huffman_subwave(grp[base : base + lmax], P, runner)
+            if pend is not None:
+                pending.append(pend)
+    # Pipeline the device->host round trips: start all small-vector
+    # copies, then (reading each small) request every token slice, then
+    # consume — transfers stream back to back instead of paying one
+    # round trip per pull.
+    for pend in pending:
+        _async_to_host(pend[5])
+    mids = [_apply_small(*pend) for pend in pending]
+    for mid in mids:
+        _async_to_host(mid[3])
+    for mid in mids:
+        _apply_tokens(*mid)
 
 
-def _decode_huffman_subwave(wave: list[LaneState], P: int, runner=None) -> None:
-    """One batched device decode over lanes sharing payload bucket P."""
+def _decode_huffman_subwave(wave: list[LaneState], P: int, runner=None):
+    """Dispatch one batched device decode over lanes sharing payload
+    bucket P; returns the pending (un-pulled) result tuple."""
     from . import decode_jax as dj
 
     L_real = len(wave)
@@ -917,9 +936,9 @@ def _decode_huffman_subwave(wave: list[LaneState], P: int, runner=None) -> None:
         rest = [st for st in wave if not st.err]
         if len(rest) < len(wave):
             _decode_huffman_wave(rest, runner)
-        return
+        return None
 
-    _run_block_stages(wave, rows, row_bits, hp, truncated, runner)
+    return _dispatch_block_stages(wave, rows, row_bits, hp, truncated, runner)
 
 
 def _reparse_single(rows, row_bits, start_bits):
@@ -1116,7 +1135,26 @@ def _run_wave_safe(w: dict):
     return _run_wave_unfused(w, full_compact=True)
 
 
-def _run_block_stages(wave, rows, row_bits, hp, truncated, runner=None) -> None:
+@jax.jit
+def _pack_small(counts, has_eob, eob_exit, err_code, out_total, overflow):
+    """Stack a wave's six scalar-per-lane results into one (6, L) array:
+    on tunneled backends each device->host pull pays a full round trip,
+    so the apply phase fetches one array instead of six."""
+    L = counts.shape[0]
+    return jnp.stack(
+        [
+            counts.astype(jnp.int32),
+            has_eob.astype(jnp.int32),
+            eob_exit.astype(jnp.int32),
+            err_code.astype(jnp.int32),
+            out_total.astype(jnp.int32),
+            jnp.broadcast_to(overflow.astype(jnp.int32), (L,)),
+        ]
+    )
+
+
+def _dispatch_block_stages(wave, rows, row_bits, hp, truncated, runner=None):
+    """Issue one subwave's device program; no host synchronization."""
     w, shift2 = _wave_arrays(rows, row_bits, hp)
     if runner is not None:
         run = runner
@@ -1124,25 +1162,43 @@ def _run_block_stages(wave, rows, row_bits, hp, truncated, runner=None) -> None:
         run = _run_wave_pallas
     else:
         run = _run_wave_unfused
-    run_safe = getattr(runner, "safe", None) or _run_wave_safe
-    tokens, counts, has_eob, eob_exit, err_code, out_total, overflow = run(w)
-    if bool(np.asarray(overflow)):
+    tokens, *rest = run(w)
+    small = _pack_small(*rest)
+    return wave, shift2, truncated, w, tokens, small, runner
+
+
+def _async_to_host(arr) -> None:
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass  # backend without async host copies: np.asarray blocks later
+
+
+def _apply_small(wave, shift2, truncated, w, tokens, small, runner=None):
+    small_h = np.asarray(small)  # one pull for all six per-lane vectors
+    if small_h[5, 0]:
         # some tile exceeded the two-level compaction budget (degenerate
         # short-code stream): redo the wave with single-level compaction
+        run_safe = getattr(runner, "safe", None) or _run_wave_safe
         tokens, counts, has_eob, eob_exit, err_code, out_total, _ovf = run_safe(w)
-    B = rows.shape[1] * 8
-
-    # Pull the small vectors first; then only the token columns in use —
-    # the device->host link is the scarce resource on tunneled backends.
-    counts_h = np.asarray(counts)
-    has_eob_h = np.asarray(has_eob)
-    eob_exit_h = np.asarray(eob_exit)
-    err_h = np.asarray(err_code)
-    total_h = np.asarray(out_total)
-    kmax = int(counts_h[: len(wave)].max()) if wave else 0
+        small_h = np.asarray(
+            _pack_small(counts, has_eob, eob_exit, err_code, out_total, _ovf)
+        )
+    # Request only the token columns in use — the device->host link is
+    # the scarce resource on tunneled backends.
+    kmax = int(small_h[0, : len(wave)].max()) if wave else 0
     bucket = 4096
     k = min(tokens.shape[1], -(-max(kmax, 1) // bucket) * bucket)
-    tokens_h = np.asarray(tokens[:, :k])
+    return wave, shift2, truncated, tokens[:, :k], small_h
+
+
+def _apply_block_stages(wave, shift2, truncated, w, tokens, small, runner=None) -> None:
+    _apply_tokens(*_apply_small(wave, shift2, truncated, w, tokens, small, runner))
+
+
+def _apply_tokens(wave, shift2, truncated, tokens_sl, small_h) -> None:
+    counts_h, has_eob_h, eob_exit_h, err_h, total_h = small_h[:5]
+    tokens_h = np.asarray(tokens_sl)
 
     for i, st in enumerate(wave):
         # A window-truncated row can only produce spurious

@@ -167,3 +167,28 @@ def test_pallas_wave_matches_xla_wave():
     for i in range(len(payloads)):
         n = int(ref[1][i])
         np.testing.assert_array_equal(got[0][i, :n], ref[0][i, :n])
+
+
+def test_stage_a_pallas_matches_xla():
+    """Fused stage-A kernel vs the XLA twin: real streams + garbage tails
+    (invalid codes, truncation classification) must agree bit-for-bit."""
+    from tpu_deflate.codec.profile import profile_compress_host
+
+    rng = np.random.default_rng(13)
+    words = [rng.integers(97, 123, rng.integers(2, 9), dtype=np.uint8) for _ in range(40)]
+    data = np.concatenate([words[i] for i in rng.integers(0, 40, 30000)]).tobytes()[:100000]
+    gz = profile_compress_host(data)
+    from tpu_deflate.codec import decode_jax as dj
+
+    buf = np.frombuffer(gz, dtype=np.uint8)
+    members = dj.split_members(buf)
+    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in members]
+    # garbage lane: random bytes behind a valid header (stresses invalid
+    # codes and every error-classification branch at most positions)
+    payloads.append(payloads[0][:64] + rng.integers(0, 256, 4000, dtype=np.uint8).tobytes())
+    w = v2._prep_wave(payloads, 4, buckets=dp.P_BUCKETS_PALLAS)
+
+    want_d, want_t = v2._stage_a_wave(w)
+    got_d, got_t = dp.stage_a_pallas(jnp.asarray(w["grid"]), dp.build_meta(w))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))

@@ -1099,7 +1099,7 @@ def _run_wave_pallas_impl(w: dict):
     bound = W_TILE_P // max(int(w.get("_min_tok_bits", 1)), 1) + 1
     k1 = next((k for k in dp.K1_CHOICES if bound <= k), dp.K1_CHOICES[-1])
 
-    dt, tt = _stage_a_wave(w)
+    dt, tt = dp.stage_a_pallas(jnp.asarray(w["grid"]), dp.build_meta(w))
     L, _W, NT = dt.shape
     transfers = dp.stage_b_pallas(dt)
     entries, _final = stage_c_entries(transfers, jnp.asarray(w["rem"]).astype(jnp.uint8))

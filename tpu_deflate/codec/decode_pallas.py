@@ -78,6 +78,263 @@ def _adv_from_delta(d):
 
 
 # ---------------------------------------------------------------------------
+# Stage A: fused windows + bounds ladders + bit-sliced descriptor decode
+# ---------------------------------------------------------------------------
+
+# SMEM meta row layout (int32 columns per lane). Ladder tables store the
+# uint32 bounds bit-cast to int32; masks are the descriptor tables
+# bit-sliced into 32-entry words (bit j of word [b, w] = bit b of the
+# descriptor at canonical index 32*w + j).
+MA_LLSAT = 0
+MA_LLPACK = 16
+MA_DSAT = 32
+MA_DPACK = 48
+MA_LLNLIVE = 64
+MA_DNLIVE = 65
+MA_DEMPTY = 66
+MA_PBITS = 67
+MA_LLMASK = 72  # 13 desc bits x 10 idx windows
+MA_DMASK = 202  # 20 desc bits x 1 idx window
+META_W = 224
+
+_A_EOB = 127
+_A_ERR = 255
+
+
+def _stage_a_kernel(meta_ref, gc_ref, gn_ref, d_ref, t_ref):
+    """One (lane, CT tile-columns) block of the speculative decode.
+
+    gc_ref/gn_ref (1, 64, CT) uint8: this block's byte grid and the grid
+    shifted one tile column (9-byte lookahead); meta_ref (L, META_W)
+    int32 scalar-prefetch (SMEM) per-lane tables, indexed by the lane
+    program id; d_ref/t_ref (1, 64, 8, CT) int32 outputs
+    (delta, token) — position p = 512*tile + 8*q + r lives at [q, r, c].
+
+    Everything (windows, two bounds ladders, bit-sliced descriptor
+    lookup, extra-bits reversal, error ordering, token build) runs in
+    VMEM: the XLA twin's materialized windows / one-hot / descriptor-row
+    intermediates (~2 GB of HBM traffic per 16 MiB wave) disappear.
+    Semantics ≙ decode_jax_v2.stage_a (differentially tested).
+    """
+    from .decode_jax_v2 import (
+        TOKEN_MATCH_BIT,
+        _ERR_EMPTY_DIST,
+        _ERR_END,
+        _ERR_RESERVED_DIST,
+        _ERR_RESERVED_LEN,
+    )
+
+    def rev8(x):
+        x = ((x & 0x55) << 1) | ((x >> 1) & 0x55)
+        x = ((x & 0x33) << 2) | ((x >> 2) & 0x33)
+        return ((x & 0x0F) << 4) | (x >> 4)
+
+    lane = pl.program_id(0)
+    gc = rev8(gc_ref[0].astype(jnp.int32))  # (64, CT)
+    gn = rev8(gn_ref[0].astype(jnp.int32))
+    rows64 = jax.lax.broadcasted_iota(jnp.int32, gc.shape, 0)
+
+    def row(k: int):
+        if k == 0:
+            return gc
+        a = pltpu.roll(gc, shift=64 - k, axis=0)
+        b = pltpu.roll(gn, shift=64 - k, axis=0)
+        return jnp.where(rows64 < 64 - k, a, b)
+
+    b = [row(k) for k in range(9)]
+    u32a = ((b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]).astype(jnp.uint32)
+    u32b = ((b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7]).astype(jnp.uint32)
+    r = jax.lax.broadcasted_iota(jnp.uint32, (1, 8, 1), 1)
+    # Reversed 32-bit windows at every bit position, (64, 8, CT).
+    vR = (u32a[:, None, :] << r) | (b[4].astype(jnp.uint32)[:, None, :] >> (8 - r))
+    vR2 = (u32b[:, None, :] << r) | (b[8].astype(jnp.uint32)[:, None, :] >> (8 - r))
+
+    def ladder(v, sat_base, pack_base, nlive_col):
+        acc = jnp.zeros(v.shape, jnp.int32)
+        for l in range(1, 15):
+            sat = meta_ref[lane, sat_base + l].astype(jnp.uint32)
+            ge = v >= sat
+            acc = jnp.where(ge, acc + meta_ref[lane, pack_base + l], acc)
+        cnt = acc >> 20
+        ln = 1 + cnt
+        off = (acc & 0xFFFFF) - (cnt << 16)
+        c = (v >> (31 - cnt).astype(jnp.uint32)).astype(jnp.int32)
+        idx = c + off
+        found = idx < meta_ref[lane, nlive_col]
+        return ln, idx, found
+
+    def rev_low16(x, k):
+        x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+        x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+        x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+        x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+        return x >> (16 - k)
+
+    ln, lidx, lfound = ladder(vR, MA_LLSAT, MA_LLPACK, MA_LLNLIVE)
+
+    # Litlen descriptor: 13 bit-sliced mask planes of 10 words each.
+    idx9 = lidx & 511
+    wsel = idx9 >> 5
+    lo5 = (idx9 & 31).astype(jnp.uint32)
+    desc = jnp.zeros(lidx.shape, jnp.int32)
+    for bbit in range(13):
+        word = jnp.zeros(lidx.shape, jnp.int32)
+        for wi in range(10):
+            word = jnp.where(wsel == wi, meta_ref[lane, MA_LLMASK + bbit * 10 + wi], word)
+        bit = (word.astype(jnp.uint32) >> lo5).astype(jnp.int32) & 1
+        desc = desc | (bit << bbit)
+
+    cls = desc & 3
+    run_bits = (desc >> 2) & 7
+    pay = desc >> 5
+    is_lit = lfound & (cls == 0)
+    is_eob = lfound & (cls == 1)
+    is_match = lfound & (cls >= 2)
+    reserved_len = lfound & (cls == 3)
+
+    rev = (vR >> (32 - ln - run_bits).astype(jnp.uint32)).astype(jnp.int32)
+    run = (pay + 3) + rev_low16(rev & ((1 << run_bits) - 1), run_bits)
+    d1 = ln + jnp.where(is_match, run_bits, 0)
+    d1u = d1.astype(jnp.uint32)
+    vD = (vR << d1u) | (vR2 >> (32 - d1u))
+
+    dln, didx, dfound = ladder(vD, MA_DSAT, MA_DPACK, MA_DNLIVE)
+
+    # Distance descriptor: 20 bit-sliced mask words (32 entries each).
+    d5 = jnp.clip(didx, 0, 31).astype(jnp.uint32)
+    dd = jnp.zeros(didx.shape, jnp.int32)
+    for bbit in range(20):
+        m = meta_ref[lane, MA_DMASK + bbit].astype(jnp.uint32)
+        dd = dd | (((m >> d5).astype(jnp.int32) & 1) << bbit)
+    dist_bits = (dd >> 15) & 15
+    reserved_dist = (dd >> 19) != 0
+    drev = (vD >> (32 - dln - dist_bits).astype(jnp.uint32)).astype(jnp.int32)
+    dist = (dd & 0x7FFF) + 1 + rev_low16(drev & ((1 << dist_bits) - 1), dist_bits)
+
+    q8 = jax.lax.broadcasted_iota(jnp.int32, (64, 8, 1), 0) * 8
+    rr = jax.lax.broadcasted_iota(jnp.int32, (64, 8, 1), 1)
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (1, 1, CT), 2) + pl.program_id(1) * CT
+    pos = tcol * W_P + q8 + rr
+    bits = meta_ref[lane, MA_PBITS]
+    dist_empty = meta_ref[lane, MA_DEMPTY] != 0
+    end_len = pos + ln
+    end_run = end_len + jnp.where(is_match, run_bits, 0)
+    end_dcode = end_run + dln
+    end_all = end_dcode + dist_bits
+
+    errc = jnp.zeros(pos.shape, jnp.int32)
+
+    def _set(errc, cond, code):
+        return jnp.where((errc == 0) & cond, code, errc)
+
+    errc = _set(errc, ~lfound, _ERR_END)
+    errc = _set(errc, end_len > bits, _ERR_END)
+    errc = _set(errc, reserved_len, _ERR_RESERVED_LEN)
+    errc = _set(errc, is_match & (end_run > bits), _ERR_END)
+    errc = _set(errc, is_match & dist_empty, _ERR_EMPTY_DIST)
+    errc = _set(errc, is_match & ~dfound, _ERR_END)
+    errc = _set(errc, is_match & (end_dcode > bits), _ERR_END)
+    errc = _set(errc, is_match & reserved_dist, _ERR_RESERVED_DIST)
+    errc = _set(errc, is_match & (end_all > bits), _ERR_END)
+
+    adv = jnp.where(is_match, end_all, end_len) - pos
+    delta = jnp.where(errc != 0, _A_ERR, jnp.where(is_eob, _A_EOB, adv))
+    token = jnp.where(
+        is_lit,
+        pay,
+        TOKEN_MATCH_BIT
+        | (jnp.clip(run, 3, 258) << 16)
+        | jnp.clip(dist - 1, 0, 65535),
+    )
+    token = jnp.where(is_eob, -(1 + ln), token)
+    token = jnp.where(errc != 0, -(100 + errc), token)
+    d_ref[0] = delta
+    t_ref[0] = token
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _stage_a_jit(grid, meta, *, interpret: bool = False):
+    """grid (L, 64, NT+1) uint8, meta (L, META_W) int32 ->
+    (delta, token) (L, 512, NT) int32 in the pallas tile layout."""
+    L, WB, NTp = grid.shape
+    NT = NTp - 1
+    assert WB == 64 and NT % CT == 0
+    gc = grid[:, :, :NT]
+    gn = grid[:, :, 1 : NT + 1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, NT // CT),
+        in_specs=[
+            pl.BlockSpec((1, 64, CT), lambda l, t, meta: (l, 0, t)),
+            pl.BlockSpec((1, 64, CT), lambda l, t, meta: (l, 0, t)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 64, 8, CT), lambda l, t, meta: (l, 0, 0, t)),
+            pl.BlockSpec((1, 64, 8, CT), lambda l, t, meta: (l, 0, 0, t)),
+        ),
+    )
+    delta4, token4 = pl.pallas_call(
+        _stage_a_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, 64, 8, NT), jnp.int32),
+            jax.ShapeDtypeStruct((L, 64, 8, NT), jnp.int32),
+        ),
+        interpret=interpret,
+    )(meta, gc, gn)
+    # (64, 8, NT) -> (512, NT) is a contiguous merge: row-major order of
+    # (q, r) equals bit position 8q + r.
+    return delta4.reshape(L, W_P, NT), token4.reshape(L, W_P, NT)
+
+
+def stage_a_pallas(grid, meta, *, interpret: bool | None = None):
+    if interpret is None:
+        interpret = _interpret_default()
+    return _stage_a_jit(grid, meta, interpret=interpret)
+
+
+def build_meta(w: dict) -> jnp.ndarray:
+    """Pack a wave dict's per-lane tables into the (L, META_W) int32 SMEM
+    row consumed by the stage-A kernel (device-side ops on already-staged
+    arrays — no extra uploads)."""
+    ll_sat = jax.lax.bitcast_convert_type(jnp.asarray(w["ll_sat"]), jnp.int32)
+    d_sat = jax.lax.bitcast_convert_type(jnp.asarray(w["d_sat"]), jnp.int32)
+    ll_pack = jnp.asarray(w["ll_pack"])
+    d_pack = jnp.asarray(w["d_pack"])
+    L = ll_sat.shape[0]
+    scal = jnp.stack(
+        [
+            jnp.asarray(w["ll_nlive"]).astype(jnp.int32),
+            jnp.asarray(w["d_nlive"]).astype(jnp.int32),
+            jnp.asarray(w["dist_empty"]).astype(jnp.int32),
+            jnp.asarray(w["payload_bits"]).astype(jnp.int32),
+        ],
+        axis=1,
+    )  # (L, 4)
+    pad4 = jnp.zeros((L, 4), jnp.int32)
+
+    # Reconstruct the 320-entry litlen descriptors from the split int8
+    # table (grid[l, lo, g] = desc[g*64 + lo]) and bit-slice them.
+    t8 = jnp.asarray(w["ll_desc"]).astype(jnp.int32)  # (L, 64, 10)
+    desc = (t8[:, :, :5] | (t8[:, :, 5:] << 7)).transpose(0, 2, 1).reshape(L, 320)
+    da = desc.reshape(L, 10, 32)
+    bsel = jnp.arange(13, dtype=jnp.int32)[None, :, None, None]
+    jsel = jnp.arange(32, dtype=jnp.int32)[None, None, None, :]
+    ll_mask = jnp.sum(((da[:, None] >> bsel) & 1) << jsel, axis=3).reshape(L, 130)
+
+    ddsc = jnp.asarray(w["d_desc"])  # (L, 32) int32
+    bsel2 = jnp.arange(20, dtype=jnp.int32)[None, :, None]
+    jsel2 = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    d_mask = jnp.sum(((ddsc[:, None] >> bsel2) & 1) << jsel2, axis=2)  # (L, 20)
+
+    meta = jnp.concatenate(
+        [ll_sat, ll_pack, d_sat, d_pack, scal, pad4, ll_mask, d_mask], axis=1
+    )
+    assert meta.shape[1] == MA_DMASK + 20
+    return jnp.pad(meta, ((0, 0), (0, META_W - meta.shape[1])))
+
+
+# ---------------------------------------------------------------------------
 # Stage B: per-tile transfer functions
 # ---------------------------------------------------------------------------
 

@@ -5,20 +5,24 @@ Motivation (measured, see ARCHITECTURE.md): XLA dynamic gather/scatter/
 sort on the axon backend run orders of magnitude below bandwidth. v2
 eliminates them entirely:
 
-- **Stage A** (one fused jit, tile-native layout): 32-bit windows at
-  every bit position, built from a (64, NT) tile-major byte grid so the
-  outputs land directly in the (sublane=bit, lane=tile) layout the
-  pallas cursor kernels consume — no large transposes anywhere;
-  *canonical-arithmetic* Huffman decode — for each code length l in
-  1..15, the bit-reversed l-bit prefix is compared against the canonical
-  ``first_code[l]``/``count[l]`` range (pure elementwise int ops; ≙ the
-  reference's ``codeLengthsToCodeTree`` walk, ``decomp/Open.java:705-756``,
-  restated as closed-form range checks). The only table lookup left is a
-  packed *descriptor* by canonical index (class | extra-bit count |
-  literal-byte-or-run-base, precomputed on host): an MXU one-hot matmul
-  for litlen, chunked so the one-hot never exceeds a 64-row slab, and a
-  32-way select chain for distances. This supports the full 15-bit
-  code-length range of RFC 1951 with no 2^15 LUT.
+- **Stage A** (tile-native layout): speculative decode of a complete
+  symbol group at every bit position, built from a (64, NT) tile-major
+  byte grid so the outputs land directly in the (sublane=bit, lane=tile)
+  layout the cursor kernels consume — no large transposes anywhere.
+  Payload bytes are bit-reversed so windows are MSB-first, and each
+  Huffman decode is a *bounds ladder* (:func:`_ladder_decode`): one
+  saturated uint32 compare plus one packed accumulate per candidate
+  length yields the code length and canonical index (≙ the reference's
+  ``codeLengthsToCodeTree`` walk, ``decomp/Open.java:705-756``, restated
+  as closed-form range checks over the canonical code space). The only
+  table lookup left is a packed *descriptor* by canonical index (class |
+  extra-bit count | literal-byte-or-run-base, precomputed on host):
+  the XLA twin uses a chunked int8 one-hot MXU matmul for litlen and a
+  32-way select chain for distances; the pallas kernel
+  (``decode_pallas._stage_a_kernel``) reads bit-sliced mask planes from
+  SMEM and runs everything — windows, both ladders, descriptors, extra
+  bits, error ordering — in VMEM. Full 15-bit code-length range of
+  RFC 1951, no 2^15 LUT.
 - **Stage B** (``lax.scan``, elementwise body): per-tile transfer
   functions. Payload is cut into 64-bit tiles; chains enter a tile only
   in its first 48 bits (the max bits of one symbol group). 48 cursors
@@ -1315,7 +1319,7 @@ def _prep_wave(payloads: list[bytes], lanes: int, buckets: tuple[int, ...] | Non
     return w
 
 
-def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 3) -> dict:
+def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 6) -> dict:
     """Device-kernel-only decode throughput (relay link excluded).
 
     Compresses ``data`` to the member-profile stream, stages every wave's

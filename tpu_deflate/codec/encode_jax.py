@@ -11,8 +11,9 @@ batched device kernels over independent 64 KiB members (lanes):
   ``while_loop``; greedy parse by pointer doubling; masked scatter-add
   histograms. One fused jitted graph, no per-position host logic.
 - **host planning**: lock-step two-queue Huffman (``huffman_lengths_batch``)
-  for all lanes at once, 12-bit-capped codes (device decode profile),
-  canonical code assignment batched, per-lane dynamic header layout.
+  for all lanes at once, full 15-bit RFC 1951 code range (the ladder
+  decoder has no LUT-width cap), canonical code assignment batched,
+  per-lane dynamic header layout.
 - **emit kernel** (jit): every (position, slot) pair becomes a
   (value, nbits) token; bit offsets are one cumulative sum; bits land via
   carry-free scatter-add into uint32 words (slot bit ranges are disjoint
@@ -39,10 +40,10 @@ from ..kernels.checksum import crc32
 from ..kernels.huffman import huffman_lengths_batch
 from .deflate_encode import _CLEN_EXTRA_BITS, _clen_rle
 from .profile import MEMBER_DATA, build_member
-from .decode_jax import DEV_LUT_BITS
 
 HASH_BITS = 16
 K_CANDIDATES = 8
+MAX_CODE_BITS = 15  # full RFC 1951 range (package-merge cap)
 ENC_LANE_BATCH = 64  # members per device dispatch
 _ENC_L_BUCKETS = (4, 16, ENC_LANE_BATCH)
 
@@ -139,57 +140,98 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
     lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
 
     # --- hashing + in-bucket neighbor candidates -----------------------
-    h = ((w32 * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
-    h = jnp.where(valid, h, -1)
-    order = jnp.argsort(h, axis=1, stable=True).astype(jnp.int32)
-    sorted_h = jnp.take_along_axis(h, order, axis=1)
-    changed = jnp.concatenate(
-        [jnp.ones((L, 1), bool), sorted_h[:, 1:] != sorted_h[:, :-1]], axis=1
-    )
     idx = jnp.broadcast_to(pos, (L, S))
-    group_first = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(changed, idx, -1), axis=1
-    )
-    rank = idx - group_first
-    # inverse permutation: sorted position of each original position
-    inv = jnp.zeros((L, S), jnp.int32).at[lanes, order].set(idx)
 
+    def bucket_neighbors(h):
+        """Stable sort by hash; returns (order, rank, inv): each
+        position's k-th previous same-hash occurrence is its k-th
+        in-bucket predecessor."""
+        order = jnp.argsort(h, axis=1, stable=True).astype(jnp.int32)
+        sorted_h = jnp.take_along_axis(h, order, axis=1)
+        changed = jnp.concatenate(
+            [jnp.ones((L, 1), bool), sorted_h[:, 1:] != sorted_h[:, :-1]], axis=1
+        )
+        group_first = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(changed, idx, -1), axis=1
+        )
+        rank = idx - group_first
+        inv = jnp.zeros((L, S), jnp.int32).at[lanes, order].set(idx)
+        return order, rank, inv
+
+    h4 = ((w32 * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
+    h4 = jnp.where(valid, h4, -1)
+    o4, r4, i4 = bucket_neighbors(h4)
+    # 3-byte hash: reaches run-3 matches and positions whose 4-byte
+    # window is broken by non-repeating bytes (the exhaustive reference
+    # scan has no such blind spot, comp/Lz77Huffman.java:71-84).
+    h3 = (((w32 & 0xFFFFFF) * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)).astype(
+        jnp.int32
+    )
+    h3 = jnp.where(valid, h3, -1)
+    o3, r3, i3 = bucket_neighbors(h3)
+
+    # Track the best two candidates by (lcp8, nearness): the second
+    # extension below recovers longer matches hiding behind an equal
+    # 8-byte prefix (reference semantics keep the longest overall).
     best_len = jnp.zeros((L, S), jnp.int32)
     best_cand = jnp.full((L, S), -1, jnp.int32)
-    for k in range(1, K_CANDIDATES + 1):
-        spos = inv  # (L,S) position in sorted order
-        has = jnp.take_along_axis(rank, spos, axis=1) >= k
-        cand_sorted_idx = jnp.clip(spos - k, 0, S - 1)
-        cand = jnp.take_along_axis(order, cand_sorted_idx, axis=1)
+    best2_len = jnp.zeros((L, S), jnp.int32)
+    best2_cand = jnp.full((L, S), -1, jnp.int32)
+
+    def consider(cand, ok, best_len, best_cand, best2_len, best2_cand):
         dist = idx - cand
-        ok = has & (dist >= 1) & (dist <= 32 * 1024) & valid
-        l8 = _lcp8(w32, idx, cand, lanes)
-        l8 = jnp.where(ok, l8, 0)
-        better = l8 > best_len
+        ok = ok & (dist >= 1) & (dist <= 32 * 1024) & valid
+        l8 = jnp.where(ok, _lcp8(w32, idx, cand, lanes), 0)
+        dup = cand == best_cand
+        better = (l8 > best_len) & ~dup
+        better2 = ~better & ~dup & (l8 > best2_len)
+        best2_len = jnp.where(better, best_len, jnp.where(better2, l8, best2_len))
+        best2_cand = jnp.where(better, best_cand, jnp.where(better2, cand, best2_cand))
         best_len = jnp.where(better, l8, best_len)
         best_cand = jnp.where(better, cand, best_cand)
+        return best_len, best_cand, best2_len, best2_cand
 
-    # --- extend the chosen candidate up to 258 bytes -------------------
+    for k in range(1, K_CANDIDATES + 1):
+        has = jnp.take_along_axis(r4, i4, axis=1) >= k
+        cand = jnp.take_along_axis(o4, jnp.clip(i4 - k, 0, S - 1), axis=1)
+        best_len, best_cand, best2_len, best2_cand = consider(
+            cand, has, best_len, best_cand, best2_len, best2_cand
+        )
+    for k in range(1, 3):
+        has = jnp.take_along_axis(r3, i3, axis=1) >= k
+        cand = jnp.take_along_axis(o3, jnp.clip(i3 - k, 0, S - 1), axis=1)
+        best_len, best_cand, best2_len, best2_cand = consider(
+            cand, has, best_len, best_cand, best2_len, best2_cand
+        )
+
+    # --- extend the two chosen candidates up to 258 bytes --------------
     limit = jnp.minimum(258, lengths[:, None] - idx)
 
-    def ext_cond(carry):
-        ml, active = carry
-        return jnp.any(active)
+    def extend(blen, bcand):
+        def ext_cond(carry):
+            ml, active = carry
+            return jnp.any(active)
 
-    def ext_body(carry):
-        ml, active = carry
-        step = _lcp8(w32, idx + ml, best_cand + ml, lanes)
-        step = jnp.where(active, step, 0)
-        ml = ml + step
-        active = active & (step == 8) & (ml < 258)
-        return ml, active
+        def ext_body(carry):
+            ml, active = carry
+            step = _lcp8(w32, idx + ml, bcand + ml, lanes)
+            step = jnp.where(active, step, 0)
+            ml = ml + step
+            active = active & (step == 8) & (ml < 258)
+            return ml, active
 
-    ml0 = best_len
-    active0 = (best_len == 8) & (best_cand >= 0)
-    ml, _ = jax.lax.while_loop(ext_cond, ext_body, (ml0, active0))
-    run = jnp.minimum(ml, limit)
+        active0 = (blen == 8) & (bcand >= 0)
+        ml, _ = jax.lax.while_loop(ext_cond, ext_body, (blen, active0))
+        return jnp.minimum(ml, limit)
+
+    run1 = extend(best_len, best_cand)
+    run2 = extend(best2_len, best2_cand)
+    d1 = jnp.where(best_cand >= 0, idx - best_cand, 0)
+    d2 = jnp.where(best2_cand >= 0, idx - best2_cand, 0)
+    take2 = (run2 > run1) | ((run2 == run1) & (run2 > 0) & (d2 < d1))
+    run = jnp.where(take2, run2, run1)
+    dist = jnp.where(take2, d2, d1)
     # worthwhile-match heuristics (zlib-style): short far matches lose.
-    dist = jnp.where(best_cand >= 0, idx - best_cand, 0)
     good = (run >= 4) | ((run == 3) & (dist <= 4096))
     run = jnp.where(good, run, 0)
     dist = jnp.where(good, dist, 0)
@@ -253,7 +295,7 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
 # ---------------------------------------------------------------------------
 
 MAX_HEADER_SLOTS = 384  # bfinal/btype + counts + 19 clens + <=320 RLE syms/extras
-WORDS_PER_LANE = (MEMBER_DATA * 9 + 8192) // 32  # worst-case dynamic bits
+WORDS_PER_LANE = (MEMBER_DATA * 10 + 8192) // 32  # worst-case dynamic bits
 
 
 @jax.jit
@@ -457,12 +499,12 @@ def _encode_batch(chunk: np.ndarray, *, lazy: bool) -> bytes:
         if litlen_hist[l].sum() == litlen_hist[l, 256]:
             litlen_hist[l, 0] += 1
 
-    ll_lengths = huffman_lengths_batch(litlen_hist, DEV_LUT_BITS)
-    d_lengths = huffman_lengths_batch(dist_hist, DEV_LUT_BITS)
+    ll_lengths = huffman_lengths_batch(litlen_hist, MAX_CODE_BITS)
+    d_lengths = huffman_lengths_batch(dist_hist, MAX_CODE_BITS)
     # single-distance lanes got >=2 symbols via the bump; all-literal lanes
     # have all-zero dist lengths -> hdist=1 with zero length (empty code).
-    ll_codes = _pack_codes(ll_lengths, DEV_LUT_BITS)
-    d_codes = _pack_codes(d_lengths, DEV_LUT_BITS)
+    ll_codes = _pack_codes(ll_lengths, MAX_CODE_BITS)
+    d_codes = _pack_codes(d_lengths, MAX_CODE_BITS)
 
     header_vals, header_bits = _build_headers(ll_lengths, d_lengths)
     eob_val = (ll_codes[:, 256] & 0xFFFF).astype(np.uint32)

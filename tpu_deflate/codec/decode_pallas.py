@@ -340,13 +340,13 @@ def build_meta(w: dict) -> jnp.ndarray:
 
 
 def _stage_b_kernel(d_ref, out_ref):
-    """d_ref (1, W, CT) int32 deltas; out_ref (1, E_WIN+16, CT) int32.
+    """d_ref (1, W, CT) int32 deltas; out_ref (1, E_WIN, CT) int32.
 
     Cursor e starts at entry offset e; after the walk, out[e] is the exit
     offset into the next tile in [0, 48), or 127 (EOB) / 255 (error),
     matching the uint8 transfer convention of the XLA stage C.
     """
-    cur = jax.lax.broadcasted_iota(jnp.int32, (E_WIN + 16, CT), 0)
+    cur = jax.lax.broadcasted_iota(jnp.int32, (E_WIN, CT), 0)
 
     def body(s8, cur):
         base = pl.multiple_of(s8 * 8, 8)
@@ -499,12 +499,12 @@ def _stage_b_jit(delta_t: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarra
             pl.BlockSpec((1, W_P, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, E_WIN + 16, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM
+            (1, E_WIN, CT), lambda l, t: (l, 0, t), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((L, E_WIN + 16, NT), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, E_WIN, NT), jnp.int32),
         interpret=interpret,
     )(delta_t)
-    return out[:, :E_WIN, :].transpose(0, 2, 1).astype(jnp.uint8)
+    return out.transpose(0, 2, 1).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("k1", "interpret"))

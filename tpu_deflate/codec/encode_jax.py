@@ -453,21 +453,42 @@ def _build_headers(litlen_lengths: np.ndarray, dist_lengths: np.ndarray):
 
 
 def compress_members_tpu(data: bytes, *, lazy: bool = True) -> bytes:
-    """Encode ``data`` as a TPU-profile multi-member gzip stream."""
+    """Encode ``data`` as a TPU-profile multi-member gzip stream.
+
+    The three encode stages run as a software pipeline over lane
+    batches (the PP analog of SURVEY.md §2.1 row 2, ≙ the reference's
+    per-block tokenize -> build codes -> emit structure,
+    ``comp/Lz77Huffman.java:68-285``): while batch k's histograms are
+    pulled and its Huffman codes planned on the host, batch k+1's
+    analyze kernel is already running on the device, and batch k-1's
+    emitted words stream back. Token info never leaves the device
+    between analyze and emit — only the (L, 288)/(L, 30) histograms and
+    the planned code tables cross the link.
+    """
     n = len(data)
     if n == 0:
         from .profile import _empty_member
 
         return _empty_member()
     buf = np.frombuffer(data, dtype=np.uint8)
+    step = ENC_LANE_BATCH * MEMBER_DATA
+    chunks = [buf[base : base + step] for base in range(0, n, step)]
     out = bytearray()
-    for base in range(0, n, ENC_LANE_BATCH * MEMBER_DATA):
-        chunk = buf[base : base + ENC_LANE_BATCH * MEMBER_DATA]
-        out += _encode_batch(chunk, lazy=lazy)
+    pend = _dispatch_analyze(chunks[0], lazy)
+    ready = None
+    for i in range(len(chunks)):
+        cur = pend
+        pend = _dispatch_analyze(chunks[i + 1], lazy) if i + 1 < len(chunks) else None
+        em = _plan_and_emit(cur)
+        if ready is not None:
+            out += _assemble_members(ready)
+        ready = em
+    out += _assemble_members(ready)
     return bytes(out)
 
 
-def _encode_batch(chunk: np.ndarray, *, lazy: bool) -> bytes:
+def _dispatch_analyze(chunk: np.ndarray, lazy: bool):
+    """Stage 1: pad one lane batch and issue the analyze kernel."""
     n = chunk.size
     L_real = -(-n // MEMBER_DATA)
     L = ENC_LANE_BATCH
@@ -480,8 +501,13 @@ def _encode_batch(chunk: np.ndarray, *, lazy: bool) -> bytes:
     lengths[L_real - 1] = n - (L_real - 1) * MEMBER_DATA
     padded = np.zeros((L, MEMBER_DATA), dtype=np.uint8)
     padded.reshape(-1)[:n] = chunk
-
     a = analyze_device(jnp.asarray(padded), jnp.asarray(lengths), lazy)
+    return a, padded, lengths, L, L_real
+
+
+def _plan_and_emit(pend):
+    """Stage 2: pull the histograms, plan codes on host, issue emit."""
+    a, padded, lengths, L, L_real = pend
     litlen_hist = np.asarray(a["litlen_hist"]).astype(np.int64)
     dist_hist = np.asarray(a["dist_hist"]).astype(np.int64)
     # EOB occurs once per lane.
@@ -510,17 +536,16 @@ def _encode_batch(chunk: np.ndarray, *, lazy: bool) -> bytes:
     eob_val = (ll_codes[:, 256] & 0xFFFF).astype(np.uint32)
     eob_bits = (ll_codes[:, 256] >> 16).astype(np.int32)
 
-    flags = np.asarray(a["is_token"]).astype(np.int32) | (
-        np.asarray(a["is_match"]).astype(np.int32) << 1
-    )
+    # Token info stays on device between analyze and emit.
+    flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
     words, total_bits = emit_device(
-        jnp.asarray(np.asarray(a["litlen_sym"])),
-        jnp.asarray(flags),
-        jnp.asarray(np.asarray(a["len_eb"])),
-        jnp.asarray(np.asarray(a["len_ev"])),
-        jnp.asarray(np.asarray(a["dist_sym"])),
-        jnp.asarray(np.asarray(a["dist_eb"])),
-        jnp.asarray(np.asarray(a["dist_ev"])),
+        a["litlen_sym"],
+        flags,
+        a["len_eb"],
+        a["len_ev"],
+        a["dist_sym"],
+        a["dist_eb"],
+        a["dist_ev"],
         jnp.asarray(ll_codes),
         jnp.asarray(d_codes),
         jnp.asarray(header_vals),
@@ -528,8 +553,20 @@ def _encode_batch(chunk: np.ndarray, *, lazy: bool) -> bytes:
         jnp.asarray(eob_val),
         jnp.asarray(eob_bits),
     )
+    try:
+        words.copy_to_host_async()
+        total_bits.copy_to_host_async()
+    except Exception:
+        pass
+    return words, total_bits, padded, lengths, L_real
+
+
+def _assemble_members(em) -> bytes:
+    """Stage 3: pull emitted words, frame members on host."""
+    words, total_bits, padded, lengths, L_real = em
     words = np.asarray(words)
     total_bits = np.asarray(total_bits)
+    L = words.shape[0]
 
     # CRCs for all lanes (host vectorized; device variant available).
     out = bytearray()

@@ -1419,3 +1419,140 @@ size_t td_oracle_tokenize(const uint8_t *buf, size_t n, size_t hist_len,
     }
     return ntok;
 }
+
+/* ------------------------------------------------------------------ */
+/* Member-parallel inflate: pthread work queue over independent gzip  */
+/* members (the DP seam of the TD stream profile, ≙ SURVEY.md §2.1).  */
+/* Each worker decodes straight into the shared output buffer at the  */
+/* member's precomputed offset and verifies its CRC-32, so the driver */
+/* makes ONE foreign call for the whole stream: no per-member Python  */
+/* slices, buffer allocs, or GIL round-trips.                         */
+/* ------------------------------------------------------------------ */
+
+#include <pthread.h>
+#include <stdlib.h>
+
+typedef struct {
+    const uint8_t *data;      /* whole gzip stream */
+    const uint64_t *pay_off;  /* per member: payload byte offset */
+    const uint64_t *pay_len;  /* per member: payload byte length */
+    const uint64_t *out_off;  /* per member: output offset; [n] = total */
+    const uint32_t *want_crc; /* per member: trailer CRC-32 */
+    uint8_t *out;
+    long n;
+    long next;                /* atomic work index */
+    uint8_t *err;             /* per member: 0 ok, else Reason+1 */
+} MemberJob;
+
+static void *member_worker(void *arg) {
+    MemberJob *j = (MemberJob *)arg;
+    for (;;) {
+        long i = __sync_fetch_and_add(&j->next, 1);
+        if (i >= j->n) break;
+        size_t cap = (size_t)(j->out_off[i + 1] - j->out_off[i]);
+        uint8_t *dst = j->out + j->out_off[i];
+        size_t out_len = 0, consumed = 0;
+        int rc = td_inflate(j->data + j->pay_off[i], (size_t)j->pay_len[i],
+                            dst, cap, &out_len, &consumed);
+        if (rc == TD_E_OUTPUT_OVERFLOW || (rc == TD_OK && out_len != cap))
+            rc = 16; /* DECOMPRESSED_SIZE_MISMATCH + 1 */
+        else if (rc == TD_OK && td_crc32(dst, cap, 0) != j->want_crc[i])
+            rc = 15; /* DECOMPRESSED_CHECKSUM_MISMATCH + 1 */
+        j->err[i] = (uint8_t)rc;
+    }
+    return NULL;
+}
+
+/* Decode n gzip members concurrently. Offsets come from the TD index
+ * (out_off = exclusive prefix sum of trailer ISIZEs, n+1 entries).
+ * Returns 0 on success; otherwise the Reason+1 code of the FIRST
+ * failing member in stream order (reference error-precedence:
+ * /root/reference/src/io/nayuki/deflate/decomp/Open.java:516-593),
+ * with *err_member set to its index. */
+int td_inflate_members(const uint8_t *data, const uint64_t *pay_off,
+                       const uint64_t *pay_len, const uint64_t *out_off,
+                       const uint32_t *want_crc, uint8_t *out, long n,
+                       int n_threads, long *err_member) {
+    uint8_t err_small[256];
+    uint8_t *err = err_small;
+    static __thread uint8_t *err_heap = NULL;
+    static __thread long err_heap_cap = 0;
+    if (n > 256) {
+        if (n > err_heap_cap) {
+            free(err_heap);
+            err_heap = (uint8_t *)malloc((size_t)n);
+            err_heap_cap = err_heap ? n : 0;
+            if (!err_heap) return 16;
+        }
+        err = err_heap;
+    }
+    memset(err, 0, (size_t)n);
+    MemberJob job = {data, pay_off, pay_len, out_off, want_crc, out, n, 0, err};
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n) n_threads = (int)n;
+    if (n_threads > 64) n_threads = 64;
+    pthread_t tids[64];
+    int spawned = 0;
+    for (int t = 0; t < n_threads - 1; t++)
+        if (pthread_create(&tids[t], NULL, member_worker, &job) == 0) spawned++;
+    member_worker(&job); /* caller thread works too */
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    for (long i = 0; i < n; i++) {
+        if (err[i]) {
+            if (err_member) *err_member = i;
+            return (int)err[i];
+        }
+    }
+    return TD_OK;
+}
+
+/* Scan a TD-profile gzip stream (fixed header + FEXTRA 'TD' subfield =
+ * u32 total member length) into per-member offset arrays — the O(members)
+ * index walk of tpu_deflate/codec/decode_jax.py::split_members, done in C
+ * so a 48 MiB stream indexes in microseconds. isize_out/crc_out read the
+ * member trailers. Returns the member count, -1 if any member lacks the
+ * TD subfield (caller falls back to the generic path), or -2 when cap is
+ * too small (caller grows the arrays and retries). */
+long td_split_members(const uint8_t *buf, size_t n, uint64_t *pay_off,
+                      uint64_t *pay_len, uint64_t *isize_out, uint32_t *crc_out,
+                      long cap) {
+    size_t pos = 0;
+    long cnt = 0;
+    while (pos < n) {
+        if (pos + 10 > n || buf[pos] != 0x1F || buf[pos + 1] != 0x8B) return -1;
+        unsigned flags = buf[pos + 3];
+        if (!(flags & 0x04)) return -1;
+        size_t p = pos + 10;
+        if (p + 2 > n) return -1;
+        size_t xlen = buf[p] | ((size_t)buf[p + 1] << 8);
+        if (p + 2 + xlen > n) return -1;
+        const uint8_t *extra = buf + p + 2;
+        p += 2 + xlen;
+        int64_t member_len = -1;
+        size_t q = 0;
+        while (q + 4 <= xlen) {
+            size_t slen = extra[q + 2] | ((size_t)extra[q + 3] << 8);
+            if (extra[q] == 'T' && extra[q + 1] == 'D' && slen == 4 && q + 8 <= xlen)
+                member_len = extra[q + 4] | ((uint32_t)extra[q + 5] << 8) |
+                             ((uint32_t)extra[q + 6] << 16) |
+                             ((int64_t)extra[q + 7] << 24);
+            q += 4 + slen;
+        }
+        if (member_len < 0) return -1;
+        if (flags & 0x08) { while (p < n && buf[p]) p++; p++; } /* FNAME */
+        if (flags & 0x10) { while (p < n && buf[p]) p++; p++; } /* FCOMMENT */
+        if (flags & 0x02) p += 2;                               /* FHCRC */
+        size_t end = pos + (size_t)member_len;
+        if (end > n || end < pos + 8 || end - 8 < p) return -1;
+        if (cnt >= cap) return -2;
+        pay_off[cnt] = p;
+        pay_len[cnt] = end - 8 - p;
+        crc_out[cnt] = buf[end - 8] | ((uint32_t)buf[end - 7] << 8) |
+                       ((uint32_t)buf[end - 6] << 16) | ((uint32_t)buf[end - 5] << 24);
+        isize_out[cnt] = buf[end - 4] | ((uint32_t)buf[end - 3] << 8) |
+                         ((uint32_t)buf[end - 2] << 16) | ((uint32_t)buf[end - 1] << 24);
+        cnt++;
+        pos = end;
+    }
+    return cnt;
+}

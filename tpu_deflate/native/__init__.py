@@ -38,7 +38,7 @@ def _build() -> str | None:
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O3", "-march=native", "-shared", "-fPIC", "-o", so, src],
+                [cc, "-O3", "-march=native", "-pthread", "-shared", "-fPIC", "-o", so, src],
                 check=True,
                 capture_output=True,
             )
@@ -132,6 +132,28 @@ def _load():
             ctypes.c_size_t,
             ctypes.c_void_p,
         ]
+        lib.td_inflate_members.restype = ctypes.c_int
+        lib.td_inflate_members.argtypes = [
+            ctypes.c_char_p,                   # data
+            ctypes.POINTER(ctypes.c_uint64),   # pay_off
+            ctypes.POINTER(ctypes.c_uint64),   # pay_len
+            ctypes.POINTER(ctypes.c_uint64),   # out_off (n+1)
+            ctypes.POINTER(ctypes.c_uint32),   # want_crc
+            ctypes.c_void_p,                   # out
+            ctypes.c_long,                     # n members
+            ctypes.c_int,                      # n_threads
+            ctypes.POINTER(ctypes.c_long),     # err_member
+        ]
+        lib.td_split_members.restype = ctypes.c_long
+        lib.td_split_members.argtypes = [
+            ctypes.c_char_p,                   # data
+            ctypes.c_size_t,                   # len
+            ctypes.POINTER(ctypes.c_uint64),   # pay_off
+            ctypes.POINTER(ctypes.c_uint64),   # pay_len
+            ctypes.POINTER(ctypes.c_uint64),   # isize
+            ctypes.POINTER(ctypes.c_uint32),   # crc
+            ctypes.c_long,                     # cap
+        ]
         lib.td_oracle_tokenize.restype = ctypes.c_size_t
         lib.td_oracle_tokenize.argtypes = [
             ctypes.c_char_p,
@@ -151,6 +173,25 @@ def _load():
 
 def available() -> bool:
     return _load() is not False
+
+
+# Uninitialized-bytes allocation via the CPython C API: the caller promises
+# to fill every byte before the object escapes. Skips the zero-fill that
+# bytes(n)/create_string_buffer would do AND the final buffer->bytes copy.
+ctypes.pythonapi.PyBytes_FromStringAndSize.restype = ctypes.py_object
+ctypes.pythonapi.PyBytes_FromStringAndSize.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+ctypes.pythonapi.PyBytes_AsString.restype = ctypes.c_void_p
+ctypes.pythonapi.PyBytes_AsString.argtypes = [ctypes.py_object]
+
+
+def _alloc_bytes(n: int) -> bytes:
+    if n <= 0:
+        return b""
+    return ctypes.pythonapi.PyBytes_FromStringAndSize(None, n)
+
+
+def _bytes_ptr(b: bytes) -> int:
+    return ctypes.pythonapi.PyBytes_AsString(b) or 0
 
 
 # ---------------------------------------------------------------------------
@@ -580,45 +621,67 @@ def gzip_decompress_native(data: bytes) -> bytes:
     Uses the TD index for O(members) splitting when present; otherwise
     decodes the stream as sequential members (still native-fast).
     """
-    from ..codec.decode_jax import split_members
     from ..format.errors import DataFormatError, OutputCapacityError, Reason
     from ..format.gzip_meta import GzipMetadata
     import io
 
-    buf = np.frombuffer(data, dtype=np.uint8)
-    members = split_members(buf)
-    if members is not None and not members:
+    lib = _load()
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    # Index the stream via the TD subfields (C scan, O(members)).
+    cap = len(data) // 4096 + 8
+    while True:
+        pay_off = np.empty(cap, np.uint64)
+        pay_len = np.empty(cap, np.uint64)
+        isize = np.empty(cap, np.uint64)
+        want_crc = np.empty(cap, np.uint32)
+        n = int(
+            lib.td_split_members(
+                data,
+                len(data),
+                pay_off.ctypes.data_as(u64p),
+                pay_len.ctypes.data_as(u64p),
+                isize.ctypes.data_as(u64p),
+                want_crc.ctypes.data_as(u32p),
+                cap,
+            )
+        )
+        if n != -2:
+            break
+        cap = len(data) // 31 + 2  # minimum framed member is ~31 bytes
+    if n == 0:
         # Empty input: same behavior as the host/tpu engines.
         raise DataFormatError.unexpected_end()
-    if members is not None:
+    if n > 0:
+        # One foreign call decodes every member: td_inflate_members runs a
+        # pthread work queue, each worker inflating straight into the shared
+        # output at the member's ISIZE-prefix-sum offset and verifying its
+        # CRC-32 in C — no per-member Python slices, buffers, or GIL churn.
+        out_off = np.zeros(n + 1, np.uint64)
+        np.cumsum(isize[:n], out=out_off[1:])
+        total = int(out_off[-1])
+        # Allocate the final bytes object up front (uninitialized — the C
+        # workers fill every byte) so there is no zero-fill pass and no
+        # buffer->bytes copy at the end.
+        out = _alloc_bytes(total)
+        err_member = ctypes.c_long(-1)
+        rc = lib.td_inflate_members(
+            data,
+            pay_off.ctypes.data_as(u64p),
+            pay_len.ctypes.data_as(u64p),
+            out_off.ctypes.data_as(u64p),
+            want_crc.ctypes.data_as(u32p),
+            _bytes_ptr(out),
+            n,
+            os.cpu_count() or 2,
+            ctypes.byref(err_member),
+        )
+        if rc != 0:
+            from ..format.errors import code_to_reason
 
-        def one(m) -> bytes:
-            payload = data[m.payload_start : m.end - 8]
-            try:
-                out, _ = inflate_raw(payload, m.isize + 1)
-            except OutputCapacityError:
-                # decoded past the trailer-declared size; real format
-                # errors (DataFormatError) propagate unchanged
-                raise DataFormatError(
-                    Reason.DECOMPRESSED_SIZE_MISMATCH, "Decompressed size mismatch"
-                )
-            if len(out) != m.isize:
-                raise DataFormatError(
-                    Reason.DECOMPRESSED_SIZE_MISMATCH, "Decompressed size mismatch"
-                )
-            if crc32(out) != m.crc32:
-                raise DataFormatError(
-                    Reason.DECOMPRESSED_CHECKSUM_MISMATCH, "Decompression CRC-32 mismatch"
-                )
-            return out
-
-        def group(ms) -> bytes:
-            return b"".join(one(m) for m in ms)
-
-        # Group members per task to amortize pool/ctypes overhead.
-        g = 16
-        groups = [members[i : i + g] for i in range(0, len(members), g)]
-        return b"".join(_pool().map(group, groups))
+            reason = code_to_reason(rc)
+            raise DataFormatError(reason, f"{reason.name} (member {err_member.value})")
+        return out
 
     # Foreign stream: sequential member walk, native inflate per member.
     out_parts = []

@@ -120,6 +120,18 @@ static void bi_init(BitIn *b, const uint8_t *in, size_t n) {
 }
 
 static void bi_fill(BitIn *b) {
+    if (b->pos + 8 <= b->in_len) {
+        /* bulk refill: one unaligned load tops the register up to >=56
+         * bits; bytes shifted past bit 63 are re-read next time because
+         * pos only advances by the bytes actually accounted. */
+        uint64_t x;
+        memcpy(&x, b->in + b->pos, 8);
+        b->reg |= x << b->reg_bits;
+        int add = (63 - b->reg_bits) >> 3;
+        b->pos += (size_t)add;
+        b->reg_bits += add * 8;
+        return;
+    }
     while (b->reg_bits <= 56 && b->pos < b->in_len)
         b->reg |= (uint64_t)b->in[b->pos++] << b->reg_bits, b->reg_bits += 8;
 }
@@ -153,8 +165,8 @@ static int bi_peek15(BitIn *b, uint32_t *val) {
 /* ------------------------------------------------------------------ */
 
 typedef struct {
-    uint16_t sym[1 << 15];
-    uint8_t len[1 << 15];
+    uint16_t e[1 << 15]; /* sym<<4 | len, one load per decode */
+    uint32_t mask;       /* (1 << max present code length) - 1 */
 } Lut;
 
 /* Validate + build 15-bit LUT; replicates the reference's incremental
@@ -191,6 +203,11 @@ static int build_lut(const uint8_t *lens, int n, Lut *lut) {
         code = (code + counts[l - 1]) << 1;
         next_code[l] = code;
     }
+    /* table sized to the longest present code: profile streams cap
+     * lengths at 12 bits, so the fill loop touches 4 K entries (8 KiB)
+     * instead of 32 K — build cost and cache footprint both shrink. */
+    int tbits = max_present;
+    lut->mask = (1u << tbits) - 1;
     for (int s = 0; s < n; s++) {
         int l = lens[s];
         if (!l) continue;
@@ -199,22 +216,21 @@ static int build_lut(const uint8_t *lens, int n, Lut *lut) {
         int rev = 0;
         for (int k = 0; k < l; k++) rev |= ((c >> k) & 1) << (l - 1 - k);
         int step = 1 << l;
-        for (int idx = rev; idx < (1 << 15); idx += step) {
-            lut->sym[idx] = (uint16_t)s;
-            lut->len[idx] = (uint8_t)l;
-        }
+        uint16_t ent = (uint16_t)((s << 4) | l);
+        for (int idx = rev; idx <= (int)lut->mask; idx += step)
+            lut->e[idx] = ent;
     }
     return TD_OK;
 }
 
 static int decode_sym(BitIn *b, const Lut *lut, int *sym) {
-    uint32_t bits;
-    int avail = bi_peek15(b, &bits);
-    int l = lut->len[bits];
-    if (l == 0 || l > avail) return TD_E_UNEXPECTED_END;
+    if (b->reg_bits < 15) bi_fill(b);
+    uint32_t e = lut->e[b->reg & lut->mask];
+    int l = (int)(e & 15);
+    if (l > b->reg_bits) return TD_E_UNEXPECTED_END;
     b->reg >>= l;
     b->reg_bits -= l;
-    *sym = lut->sym[bits];
+    *sym = (int)(e >> 4);
     return TD_OK;
 }
 
@@ -288,6 +304,9 @@ int td_inflate(const uint8_t *in, size_t in_len, uint8_t *out, size_t out_cap,
                 memcpy(out + op, b.in + b.pos, remaining);
                 op += remaining;
                 b.pos += remaining;
+                /* pos jumped: stale bulk-refill bits above reg_bits no
+                 * longer mirror in[pos..], so drop them */
+                b.reg &= (1ull << b.reg_bits) - 1;
             }
             continue;
         }
@@ -365,6 +384,62 @@ int td_inflate(const uint8_t *in, size_t in_len, uint8_t *out, size_t out_cap,
 
         /* block body */
         for (;;) {
+            /* Fast path (≙ the reference's maxBitsPerIteration scheme,
+             * Open.java:479-563): with >=48 register bits — the worst
+             * case for litlen(15)+len extra(5)+dist(15)+dist extra(13)
+             * — and >=272 output slack, one iteration runs with no
+             * refill or bounds checks and a sloppy 8-byte-wide copy. */
+            if (b.reg_bits < 48) bi_fill(&b);
+            while (b.reg_bits >= 48 && out_cap - op >= 272) {
+                uint32_t e = ll->e[b.reg & ll->mask];
+                int l = (int)(e & 15);
+                int sym = (int)(e >> 4);
+                b.reg >>= l;
+                b.reg_bits -= l;
+                if (sym < 256) {
+                    out[op++] = (uint8_t)sym;
+                    if (b.reg_bits < 48) bi_fill(&b);
+                    continue;
+                }
+                if (sym == 256) goto block_done;
+                if (sym > 285) return TD_E_RESERVED_LEN_SYM;
+                int eb = LEN_EXTRA[sym - 257];
+                uint32_t run = LEN_BASE[sym - 257] +
+                               (uint32_t)(b.reg & ((1u << eb) - 1));
+                b.reg >>= eb;
+                b.reg_bits -= eb;
+                if (dist_empty) return TD_E_EMPTY_DIST_CODE;
+                e = dd->e[b.reg & dd->mask];
+                l = (int)(e & 15);
+                int dsym = (int)(e >> 4);
+                b.reg >>= l;
+                b.reg_bits -= l;
+                if (dsym > 29) return TD_E_RESERVED_DIST_SYM;
+                eb = DIST_EXTRA[dsym];
+                uint32_t dist = DIST_BASE[dsym] +
+                                (uint32_t)(b.reg & ((1u << eb) - 1));
+                b.reg >>= eb;
+                b.reg_bits -= eb;
+                if (dist > op) return TD_E_BEFORE_START;
+                uint8_t *dst = out + op;
+                const uint8_t *src = dst - dist;
+                op += run;
+                if (dist >= 8) {
+                    /* sloppy word copy: may write up to 7 bytes past
+                     * run, covered by the 272-byte slack guard */
+                    do {
+                        memcpy(dst, src, 8);
+                        dst += 8;
+                        src += 8;
+                    } while (dst < out + op);
+                } else if (dist == 1) {
+                    memset(dst, src[0], run);
+                } else {
+                    for (uint32_t k = 0; k < run; k++) dst[k] = src[k];
+                }
+                if (b.reg_bits < 48) bi_fill(&b);
+            }
+            /* checked path: near end of input or output */
             int sym;
             if ((err = decode_sym(&b, ll, &sym))) return err;
             if (sym < 256) {
@@ -395,6 +470,7 @@ int td_inflate(const uint8_t *in, size_t in_len, uint8_t *out, size_t out_cap,
                 op += run;
             }
         }
+    block_done:;
     }
     *out_len = op;
     *consumed = b.pos - (size_t)(b.reg_bits / 8);
@@ -702,6 +778,66 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
      * walking the chain (derived from max_chain to keep the ABI). */
     uint32_t nice_len = max_chain <= 8 ? 32 : max_chain <= 64 ? 96 : 258;
 
+    if (max_chain <= 4) {
+        /* Greedy hash4 fast mode (effort 1): a single-entry head table,
+         * no chains, no lazy pass — one hash+verify per position, match
+         * length >=4 (the classic fast-level trade: len-3 matches are
+         * not discoverable). Several times the throughput of the lazy
+         * matcher at a few percent ratio cost. */
+        for (size_t j = 0; j + 4 <= hist_len; j++)
+            head[hash4(in + j)] = (int32_t)j;
+        i = hist_len;
+        while (i < total) {
+            uint32_t x, y;
+            if (i + 4 > total) goto fast_lit;
+            {
+                uint32_t h = hash4(in + i);
+                int32_t c = head[h];
+                head[h] = (int32_t)i;
+                memcpy(&x, in + i, 4);
+                if (c < 0 || i - (size_t)c > WIN) goto fast_lit;
+                memcpy(&y, in + (size_t)c, 4);
+                if (x != y) goto fast_lit;
+                uint32_t lim = total - i < 258 ? (uint32_t)(total - i) : 258;
+                uint32_t l = 4;
+                const uint8_t *a = in + i, *bb = in + (size_t)c;
+                while (l + 8 <= lim) {
+                    uint64_t xa, xb;
+                    memcpy(&xa, a + l, 8);
+                    memcpy(&xb, bb + l, 8);
+                    uint64_t d = xa ^ xb;
+                    if (d) { l += (uint32_t)(__builtin_ctzll(d) >> 3); break; }
+                    l += 8;
+                }
+                while (l < lim && a[l] == bb[l]) l++;
+                uint32_t dist = (uint32_t)(i - (size_t)c);
+                int s, eb; uint32_t ev;
+                run_sym(l, &s, &eb, &ev);
+                freqs_ll[s]++;
+                dist_sym(dist, &s, &eb, &ev);
+                freqs_d[s]++;
+                tok_run[ntok] = (uint16_t)l;
+                tok_dist[ntok] = (uint16_t)(dist - 1);
+                tok_lit[ntok] = 0;
+                ntok++;
+                /* keep the table warm without hashing the whole span */
+                size_t p1 = i + (l >> 1), p2 = i + l - 2;
+                if (p1 + 4 <= total) head[hash4(in + p1)] = (int32_t)p1;
+                if (p2 + 4 <= total && p2 != p1) head[hash4(in + p2)] = (int32_t)p2;
+                i += l;
+                continue;
+            }
+        fast_lit:
+            freqs_ll[in[i]]++;
+            tok_run[ntok] = 0;
+            tok_dist[ntok] = 0;
+            tok_lit[ntok] = in[i];
+            ntok++;
+            i++;
+        }
+        goto tokens_done;
+    }
+
     #define FIND(ipos, bestlen_out, bestdist_out) do { \
         uint32_t _bl = 0, _bd = 0; \
         if ((ipos) + 3 <= total) { \
@@ -709,10 +845,15 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
             int32_t _c = head[_h]; \
             int _chain = max_chain; \
             uint32_t _lim = total - (ipos) < 258 ? (uint32_t)(total - (ipos)) : 258; \
+            const uint8_t *_a = in + (ipos); \
             while (_c >= 0 && _chain-- > 0) { \
                 uint32_t _d = (uint32_t)((ipos) - _c); \
                 if (_d > WIN) break; \
-                const uint8_t *_a = in + (ipos), *_b2 = in + _c; \
+                const uint8_t *_b2 = in + _c; \
+                /* one-byte pre-filter: once a decent match is held, a \
+                 * candidate that can't extend past it loses on score \
+                 * almost surely — skip it with a single load. */ \
+                if (_bl >= 6 && _b2[_bl] != _a[_bl]) { _c = prevtab[_c]; continue; } \
                 uint32_t _l = 0; \
                 while (_l + 8 <= _lim) { \
                     uint64_t _xa, _xb; \
@@ -754,7 +895,9 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
     INS_UPTO(hist_len + 1);
     while (i < total) {
         uint32_t nl = 0, nd = 0;
-        if (i + 1 < total) {
+        /* lazy evaluation pays only for middling matches: a match at
+         * nice_len+ is taken immediately (zlib's max_lazy rule). */
+        if (i + 1 < total && cur_len < nice_len) {
             INS_UPTO(i + 1);
             FIND(i + 1, nl, nd);
         }
@@ -779,6 +922,11 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
             ntok++;
             i += cur_len;
             if (i < total) {
+                /* long matches (typically runs) skip interior inserts:
+                 * the chain already holds the span's start, and hashing
+                 * every covered position costs more than the sliver of
+                 * ratio it buys. */
+                if (cur_len >= nice_len && ins < i) ins = i > 2 ? i - 2 : ins;
                 INS_UPTO(i);
                 FIND(i, cur_len, cur_dist);
             } else cur_len = 0;
@@ -792,6 +940,7 @@ static size_t deflate_block(const uint8_t *in, size_t hist_len, size_t n,
             cur_len = nl; cur_dist = nd;
         }
     }
+tokens_done:
     freqs_ll[256]++;
 
     /* --- code lengths + degenerate fixes (reference semantics) --- */
@@ -1284,6 +1433,8 @@ int td_inflate_marker(const uint8_t *in, size_t in_len, int64_t start_bit,
                 for (uint32_t k = 0; k < remaining; k++) out[op + k] = b.in[b.pos + k];
                 op += remaining;
                 b.pos += remaining;
+                /* pos jumped: drop stale bulk-refill bits (see td_inflate) */
+                b.reg &= (1ull << b.reg_bits) - 1;
             }
             *hit_final = last;
             continue;
@@ -1555,4 +1706,101 @@ long td_split_members(const uint8_t *buf, size_t n, uint64_t *pay_off,
         pos = end;
     }
     return cnt;
+}
+
+/* ------------------------------------------------------------------ */
+/* Member-parallel deflate: encode fixed-size chunks as independent   */
+/* TD-profile gzip members on a pthread work queue. Workers encode    */
+/* into a reusable per-thread slot (warm pages), then commit to the   */
+/* shared output IN MEMBER ORDER (spin on a committed counter), so    */
+/* the result is deterministic and needs no giant scratch buffer.     */
+/* ------------------------------------------------------------------ */
+
+#include <sched.h>
+
+#define MEMBER_HDR 20 /* 10-byte gzip header + XLEN + 'TD' u32 subfield */
+
+typedef struct {
+    const uint8_t *data;
+    size_t n;
+    size_t member_data;
+    int max_code_len, max_chain;
+    uint8_t *out;
+    size_t out_cap;
+    long nm;
+    long next;       /* atomic: next member to encode */
+    long committed;  /* members fully written to out */
+    size_t out_pos;  /* write cursor (owned by the committing thread) */
+    int failed;
+} EncJob;
+
+static void enc_frame(uint8_t *slot, const uint8_t *src, size_t len, size_t pay) {
+    static const uint8_t HDR10[10] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff};
+    uint32_t total = (uint32_t)(MEMBER_HDR + pay + 8);
+    memcpy(slot, HDR10, 10);
+    slot[10] = 8; slot[11] = 0;                  /* XLEN */
+    slot[12] = 'T'; slot[13] = 'D';
+    slot[14] = 4; slot[15] = 0;                  /* subfield len */
+    slot[16] = (uint8_t)total; slot[17] = (uint8_t)(total >> 8);
+    slot[18] = (uint8_t)(total >> 16); slot[19] = (uint8_t)(total >> 24);
+    uint32_t crc = td_crc32(src, len, 0);
+    uint8_t *tr = slot + MEMBER_HDR + pay;
+    tr[0] = (uint8_t)crc; tr[1] = (uint8_t)(crc >> 8);
+    tr[2] = (uint8_t)(crc >> 16); tr[3] = (uint8_t)(crc >> 24);
+    uint32_t is = (uint32_t)len;
+    tr[4] = (uint8_t)is; tr[5] = (uint8_t)(is >> 8);
+    tr[6] = (uint8_t)(is >> 16); tr[7] = (uint8_t)(is >> 24);
+}
+
+static void *enc_worker(void *arg) {
+    EncJob *j = (EncJob *)arg;
+    size_t slot_cap = MEMBER_HDR + j->member_data + j->member_data / 8 + 1024 + 8;
+    uint8_t *slot = (uint8_t *)malloc(slot_cap);
+    if (!slot) { j->failed = 1; return NULL; }
+    for (;;) {
+        long i = __sync_fetch_and_add(&j->next, 1);
+        if (i >= j->nm || j->failed) break;
+        size_t start = (size_t)i * j->member_data;
+        size_t len = j->n - start;
+        if (len > j->member_data) len = j->member_data;
+        size_t pay = td_deflate_member(j->data + start, len, slot + MEMBER_HDR,
+                                       slot_cap - MEMBER_HDR - 8,
+                                       j->max_code_len, j->max_chain);
+        if (pay == 0 && len > 0) { j->failed = 1; break; }
+        enc_frame(slot, j->data + start, len, pay);
+        size_t total = MEMBER_HDR + pay + 8;
+        while (__sync_fetch_and_add(&j->committed, 0) != i) {
+            if (j->failed) goto done;
+            sched_yield();
+        }
+        if (j->out_pos + total > j->out_cap) { j->failed = 1; break; }
+        memcpy(j->out + j->out_pos, slot, total);
+        j->out_pos += total;
+        __sync_fetch_and_add(&j->committed, 1);
+    }
+done:
+    free(slot);
+    return NULL;
+}
+
+/* Encode n bytes as ceil(n/member_data) TD-profile gzip members in
+ * parallel. Returns total output size, or 0 on failure. */
+size_t td_deflate_members(const uint8_t *data, size_t n, size_t member_data,
+                          int max_code_len, int max_chain, int n_threads,
+                          uint8_t *out, size_t out_cap) {
+    if (n == 0 || member_data == 0) return 0;
+    EncJob job = {data, n, member_data, max_code_len, max_chain,
+                  out, out_cap, 0, 0, 0, 0, 0};
+    job.nm = (long)((n + member_data - 1) / member_data);
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > job.nm) n_threads = (int)job.nm;
+    if (n_threads > 64) n_threads = 64;
+    pthread_t tids[64];
+    int spawned = 0;
+    for (int t = 0; t < n_threads - 1; t++)
+        if (pthread_create(&tids[t], NULL, enc_worker, &job) == 0) spawned++;
+    enc_worker(&job);
+    for (int t = 0; t < spawned; t++) pthread_join(tids[t], NULL);
+    if (job.failed || job.committed != job.nm) return 0;
+    return job.out_pos;
 }

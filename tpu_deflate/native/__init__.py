@@ -144,6 +144,17 @@ def _load():
             ctypes.c_int,                      # n_threads
             ctypes.POINTER(ctypes.c_long),     # err_member
         ]
+        lib.td_deflate_members.restype = ctypes.c_size_t
+        lib.td_deflate_members.argtypes = [
+            ctypes.c_char_p,                   # data
+            ctypes.c_size_t,                   # n
+            ctypes.c_size_t,                   # member_data
+            ctypes.c_int,                      # max_code_len
+            ctypes.c_int,                      # max_chain
+            ctypes.c_int,                      # n_threads
+            ctypes.c_void_p,                   # out
+            ctypes.c_size_t,                   # out_cap
+        ]
         lib.td_split_members.restype = ctypes.c_long
         lib.td_split_members.argtypes = [
             ctypes.c_char_p,                   # data
@@ -495,18 +506,27 @@ def compress_members_native(
     data: bytes, *, member_data: int = 64 * 1024, max_code_len: int = 12, max_chain: int = 32
 ) -> bytes:
     """TPU-profile multi-member gzip via the native core, all host cores."""
-    from ..codec.profile import build_member, _empty_member
+    from ..codec.profile import _empty_member
 
     if not data:
         return _empty_member()
-
-    def one(start: int) -> bytes:
-        chunk = data[start : start + member_data]
-        payload = deflate_member_payload(chunk, max_code_len=max_code_len, max_chain=max_chain)
-        return build_member(payload, len(chunk), crc32(chunk))
-
-    starts = range(0, len(data), member_data)
-    return b"".join(_pool().map(one, starts))
+    # One foreign call: a C pthread work queue encodes every member (payload,
+    # framing, and CRC all in C) and commits them to the output in member
+    # order — no per-member Python slices or GIL round-trips.
+    lib = _load()
+    n = len(data)
+    nm = (n + member_data - 1) // member_data
+    cap = n + n // 8 + nm * (28 + 1024) + 64
+    out = _alloc_bytes(cap)
+    got = int(
+        lib.td_deflate_members(
+            data, n, member_data, max_code_len, max_chain,
+            os.cpu_count() or 2, _bytes_ptr(out), cap,
+        )
+    )
+    if got == 0:
+        raise RuntimeError("native deflate failed")
+    return out[:got]
 
 
 def compress_continuous_native(

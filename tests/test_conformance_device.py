@@ -17,7 +17,7 @@ from tpu_deflate.format.errors import DataFormatError
 from vectors import BAD_VECTORS, GOOD_VECTORS, bits_to_bytes
 
 
-@pytest.mark.parametrize("pad", ["0", "1"])
+@pytest.mark.parametrize("pad", ["0", "1", "random"])
 @pytest.mark.parametrize("name,bits,hexout", GOOD_VECTORS, ids=[v[0] for v in GOOD_VECTORS])
 def test_good_vector_device(name, bits, hexout, pad):
     data = bits_to_bytes(bits, pad)
@@ -45,4 +45,22 @@ def test_batched_error_isolation():
     for (name, _, reason), st in zip(BAD_VECTORS, states[len(GOOD_VECTORS) :]):
         with pytest.raises(DataFormatError) as ei:
             _resolve_lane(st, None)
+        assert ei.value.reason == reason, name
+
+
+def test_batched_vectors_pallas_interpret(monkeypatch):
+    """All 42 vectors through the *pallas* wave runner explicitly (Mosaic
+    interpret mode on CPU): good vectors bit-exact, bad vectors carrying
+    the exact Reason — the same taxonomy net the XLA twin passes."""
+    from tpu_deflate.codec import decode_jax_v2 as v2
+
+    monkeypatch.setattr(v2, "_use_pallas", lambda: True)
+    payloads = [bits_to_bytes(b, "1") for _, b, _ in GOOD_VECTORS]
+    payloads += [bits_to_bytes(b, "0") for _, b, _ in BAD_VECTORS]
+    states = v2.decode_deflate_streams_v2(payloads)
+    for (name, _, hexout), st in zip(GOOD_VECTORS, states):
+        assert v2._resolve_lane(st, None) == bytes.fromhex(hexout), name
+    for (name, _, reason), st in zip(BAD_VECTORS, states[len(GOOD_VECTORS) :]):
+        with pytest.raises(DataFormatError) as ei:
+            v2._resolve_lane(st, None)
         assert ei.value.reason == reason, name

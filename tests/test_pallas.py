@@ -192,3 +192,14 @@ def test_stage_a_pallas_matches_xla():
     got_d, got_t = dp.stage_a_pallas(jnp.asarray(w["grid"]), dp.build_meta(w))
     np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
     np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+
+
+def test_compact_flat_matches_xla():
+    """VMEM whole-lane compaction vs the XLA displacement-move twin."""
+    rng = np.random.default_rng(3)
+    for L, M, density in [(4, 512, 0.3), (3, 2048, 0.05), (2, 128, 1.0), (2, 256, 0.0)]:
+        tok = rng.integers(0, 1 << 20, (L, M)).astype(np.int32)
+        tok[rng.random((L, M)) >= density] = -1
+        got = np.asarray(dp.compact_flat_pallas(jnp.asarray(tok), interpret=True))
+        want = np.asarray(v2.compact_level2(jnp.asarray(tok)))
+        np.testing.assert_array_equal(got, want)

@@ -32,7 +32,9 @@ serial dependency with the format's own seams (SURVEY.md §2.1):
 
 Error taxonomy: device lanes report int32 reason codes (reserved symbols,
 copy-before-start, overrun) which the host converts to DataFormatError;
-trailer CRC/ISIZE are verified per member (device CRC + host combine).
+trailer CRC/ISIZE are verified per member (native/host CRC — decoded
+bytes materialize on the host at resolve time, so that is where the
+checksum is cheapest; the device CRC kernels serve the encode path).
 """
 
 from __future__ import annotations

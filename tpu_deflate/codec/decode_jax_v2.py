@@ -213,52 +213,132 @@ def ladder_tables(tables: dict) -> dict:
     return {"sat": sat, "pack": pack, "nlive": nlive}
 
 
-def _litlen_desc_table(syms: np.ndarray) -> np.ndarray:
-    """(L, 288) sorted litlen symbols -> (L, 64, 10) int8 packed-descriptor
-    table for the one-hot MXU lookup.
+ACC_BIAS = 1 << 12  # per-step bias keeping both 16-bit acc halves positive
 
-    Instead of looking up the raw symbol and re-deriving its class and
-    run parameters arithmetically at every bit position, the host packs a
-    13-bit descriptor per canonical index:
 
-        desc = cls(2b) | run_bits(3b)<<2 | pay(8b)<<5
-        cls 0 = literal (pay = the byte), 1 = end-of-block,
-        cls 2 = match  (pay = run_base - 3, run_bits = extra bits),
-        cls 3 = reserved symbol 286/287 (also used for table padding).
+def class_ladder_tables(lengths: np.ndarray, tables: dict) -> dict:
+    """Litlen class/rank tables for the threshold-ladder decode.
 
-    Columns 0..4 hold desc&127 for the 5 64-row groups, 5..9 desc>>7
-    (<=63) — both halves exact in one int8 MXU pass.
-    ≙ the symbol->base/extra closed forms of ``decomp/Open.java:843-886``
-    folded into the table build.
+    The old design looked up a 13-bit descriptor per canonical index
+    (class | extra-bit count | literal-byte-or-run-base) — a 10-word
+    select chain per bit plane, the dominant VPU cost of stage A. This
+    build exploits the canonical order instead: within one code-length
+    group, symbols sort ascending, so literals (0..255), the EOB (256),
+    matches (257..285) and reserved symbols (286/287) occupy contiguous
+    runs whose boundaries are per-length *thresholds* on the canonical
+    index. Two extra packed accumulators ride the existing bounds ladder
+    (sharing its compare), yielding per position:
+
+    - ``acc2``: lit_end (hi16) | res_start (lo16) — class thresholds;
+    - ``acc3``: lit_off (hi16) | mrank_off (lo16) — rank rebases, where
+      lit_rank = idx + lit_off is the symbol's rank among all literals in
+      canonical order, and mrank = idx + mrank_off its rank among match
+      symbols (< 29, so match descriptors live in single 32-bit plane
+      words). Each half is stored biased by ACC_BIAS per ladder step so
+      it stays positive; the kernel subtracts ``len << 12`` to decode.
+
+    Literal tokens then carry lit_rank; :func:`apply_lit_map` maps rank
+    to byte after compaction (~20% of positions) via one int8 one-hot
+    MXU pass, so the emitted token stream is unchanged.
+    ≙ the symbol classification of ``decomp/Open.java:479-563`` restated
+    as canonical-order range checks.
     """
     from ..format.tables import LENGTH_BASE, LENGTH_EXTRA
 
-    L = syms.shape[0]
-    s = np.clip(syms, 0, 287)
-    cls = np.where(s < 256, 0, np.where(s == 256, 1, np.where(s <= 285, 2, 3)))
-    mi = np.clip(s - 257, 0, 28)
-    rb = np.where(cls == 2, LENGTH_EXTRA[mi], 0)
-    pay = np.where(cls == 0, s, np.where(cls == 2, LENGTH_BASE[mi] - 3, 0))
-    desc = cls | (rb << 2) | (pay << 5)
-    pad = np.full((L, 320), 3, np.int32)  # padding decodes as reserved
-    pad[:, : syms.shape[1]] = desc
-    grid = pad.reshape(L, 5, 64).transpose(0, 2, 1)  # (L, 64, 5)
-    lo = (grid & 127).astype(np.int8)
-    hi = (grid >> 7).astype(np.int8)
-    return np.concatenate([lo, hi], axis=2)
+    L, N = lengths.shape
+    first = tables["first"].astype(np.int64)
+    count = tables["count"].astype(np.int64)
+    base = tables["base"].astype(np.int64)
+    nlive = (base[:, 15] + count[:, 15]).astype(np.int64)
+    syms = tables["syms"]
+
+    sym_ids = np.arange(N)[None, :]
+    nlit = np.zeros((L, 16), np.int64)
+    neob = np.zeros((L, 16), np.int64)
+    nm = np.zeros((L, 16), np.int64)
+    for l in range(1, 16):
+        at = lengths == l
+        nlit[:, l] = (at & (sym_ids < 256)).sum(axis=1)
+        neob[:, l] = (at & (sym_ids == 256)).sum(axis=1)
+        nm[:, l] = (at & (sym_ids >= 257) & (sym_ids <= 285)).sum(axis=1)
+    cum_lit = np.cumsum(nlit, axis=1) - nlit  # literals with shorter length
+    cum_m = np.cumsum(nm, axis=1) - nm
+
+    lit_end = base + nlit
+    res_start = base + nlit + neob + nm
+    lit_off = cum_lit - base
+    mrank_off = cum_m - (base + nlit + neob)
+
+    l256 = lengths[:, 256].astype(np.int64) if N > 256 else np.zeros(L, np.int64)
+    rows = np.arange(L)
+    eob_cidx = np.where(
+        l256 > 0, base[rows, l256] + nlit[rows, l256], np.int64(-(1 << 20))
+    ).astype(np.int32)
+
+    def pack_pair(hi: np.ndarray, lo: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-length (hi, lo) value pair -> (pack (L,16) int32, init (L,))."""
+        pack = np.zeros((L, 16), np.int32)
+        for l in range(1, 15):
+            bound = (first[:, l] + count[:, l]) << (32 - l)
+            full = bound >= (1 << 32)
+            dhi = hi[:, l + 1] - hi[:, l] + ACC_BIAS
+            dlo = lo[:, l + 1] - lo[:, l] + ACC_BIAS
+            pack[:, l] = np.where(full, 0, (dhi << 16) + dlo).astype(np.int32)
+        init = ((hi[:, 1] + ACC_BIAS) << 16) + (lo[:, 1] + ACC_BIAS)
+        return pack, init.astype(np.int32)
+
+    pack2, init2 = pack_pair(lit_end, res_start)
+    pack3, init3 = pack_pair(lit_off, mrank_off)
+
+    # Canonical ranks over the sorted symbol array.
+    pos_valid = np.arange(N)[None, :] < nlive[:, None]
+    is_m = (syms >= 257) & (syms <= 285) & pos_valid
+    is_l = (syms < 256) & pos_valid
+    mrank_arr = np.cumsum(is_m, axis=1) - 1
+    lrank_arr = np.cumsum(is_l, axis=1) - 1
+
+    # Match descriptors by match rank: run_bits(3b) | (run_base-3)(8b)<<3,
+    # bit-sliced into 11 single plane words (<= 29 match symbols).
+    mi = np.clip(syms - 257, 0, 28)
+    mdesc = (LENGTH_EXTRA[mi] | ((LENGTH_BASE[mi] - 3) << 3)).astype(np.int64)
+    mwords = np.zeros((L, 11), np.int64)
+    for b in range(11):
+        bit = ((mdesc >> b) & 1) & is_m
+        mwords[:, b] = (bit.astype(np.int64) << np.clip(mrank_arr, 0, 31)).sum(axis=1)
+    # Literal rank -> byte map, (L, 256) plus the (L, 64, 8) int8 MXU form.
+    lit_map = np.zeros((L, 256), np.uint8)
+    li, lj = np.nonzero(is_l)
+    lit_map[li, lrank_arr[li, lj]] = syms[li, lj]
+    grid = lit_map.reshape(L, 4, 64).transpose(0, 2, 1)  # (L, 64, 4)
+    lit_map8 = np.concatenate(
+        [(grid & 127).astype(np.int8), (grid >> 7).astype(np.int8)], axis=2
+    )
+    return {
+        "pack2": pack2,
+        "init2": init2,
+        "pack3": pack3,
+        "init3": init3,
+        "eob_cidx": eob_cidx,
+        "mwords": mwords.astype(np.int32),
+        "lit_map8": lit_map8,
+    }
 
 
-def _dist_desc_table(syms32: np.ndarray) -> np.ndarray:
-    """(L, 32) sorted distance symbols -> (L, 32) int32 packed descriptors:
-    (dist_base-1)(15b) | dist_bits<<15 (4b) | reserved<<19."""
-    from ..format.tables import DIST_BASE, DIST_EXTRA
+def dist_perm_words(syms32: np.ndarray) -> np.ndarray:
+    """(L, 32) sorted distance symbols -> (L, 5) int32 bit-plane words.
 
-    s = np.clip(syms32, 0, 31)
-    valid = s <= 29
-    si = np.clip(s, 0, 29)
-    base = np.where(valid, DIST_BASE[si] - 1, 0).astype(np.int64)
-    bits = np.where(valid, DIST_EXTRA[si], 0).astype(np.int64)
-    return (base | (bits << 15) | ((~valid).astype(np.int64) << 19)).astype(np.int32)
+    Plane b, bit j = bit b of (symbol at canonical index j, clipped to
+    31). The kernel recovers the 5-bit symbol s and derives everything
+    in closed form: dist_bits = max(0, (s>>1)-1); dist_base-1 = s for
+    s < 4 else (2+(s&1)) << dist_bits; reserved = s >= 30 — the
+    ``decomp/Open.java:843-886`` distance tables as arithmetic.
+    """
+    s = np.clip(syms32, 0, 31).astype(np.int64)
+    words = np.zeros((s.shape[0], 5), np.int64)
+    j = np.arange(32)[None, :]
+    for b in range(5):
+        words[:, b] = (((s >> b) & 1) << j).sum(axis=1)
+    return words.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -293,6 +373,37 @@ def _ladder_decode(v, sat, pack, nlive):
     return ln, idx, found
 
 
+def _ladder_decode3(v, sat, pack, pack2, init2, pack3, init3, nlive):
+    """Bounds-ladder decode with two extra class/rank accumulators.
+
+    Same compare schedule as :func:`_ladder_decode`; acc2/acc3 (from
+    :func:`class_ladder_tables`) ride the shared ``ge`` for +2 ops per
+    step each. Returns (code_len, canonical_index, found, lit_end,
+    res_start, lit_off, mrank_off) shaped like v.
+    """
+    nd = v.ndim
+    acc = jnp.zeros(v.shape, jnp.int32)
+    acc2 = jnp.broadcast_to(_lane_bc(init2, nd), v.shape)
+    acc3 = jnp.broadcast_to(_lane_bc(init3, nd), v.shape)
+    for l in range(1, MAX_CODE_LEN):
+        ge = v >= _lane_bc(sat[:, l], nd)
+        acc = jnp.where(ge, acc + _lane_bc(pack[:, l], nd), acc)
+        acc2 = jnp.where(ge, acc2 + _lane_bc(pack2[:, l], nd), acc2)
+        acc3 = jnp.where(ge, acc3 + _lane_bc(pack3[:, l], nd), acc3)
+    cnt = acc >> 20
+    ln = 1 + cnt
+    off = (acc & 0xFFFFF) - (cnt << 16)
+    c = (v >> (31 - cnt).astype(jnp.uint32)).astype(jnp.int32)
+    idx = c + off
+    found = idx < _lane_bc(nlive, nd)
+    lnb = ln << 12  # ACC_BIAS * ln
+    lit_end = ((acc2 >> 16) & 0xFFFF) - lnb
+    res_start = (acc2 & 0xFFFF) - lnb
+    lit_off = ((acc3 >> 16) & 0xFFFF) - lnb
+    mrank_off = (acc3 & 0xFFFF) - lnb
+    return ln, idx, found, lit_end, res_start, lit_off, mrank_off
+
+
 def _rev_bits16(x, k):
     """Reverse the low ``k`` bits of x (int32, x < 2**16, k <= 16)."""
     x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
@@ -302,58 +413,49 @@ def _rev_bits16(x, k):
     return x >> (16 - k)
 
 
-def _desc_lookup_320(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """tbl (L, 64, 10) int8 split descriptor table, idx (L, W, NT) int32
-    in [0, 320) -> (L, W, NT) int32 descriptors.
+def apply_lit_map(tokens: jnp.ndarray, lit_map8: jnp.ndarray) -> jnp.ndarray:
+    """Map literal-rank tokens to literal bytes (post-compaction).
 
-    One-hot over the low 6 index bits rides the MXU in a single int8
-    pass (both table halves are <= 127, so the int8 x int8 -> int32
-    contraction is exact, and the int8 one-hot halves the HBM traffic of
-    the materialized one-hot operand — the dominant cost of this lookup);
-    the 5 row pairs are picked with a select chain and recombined as
-    lo + 128*hi. The W axis is processed in 64-row chunks under a scan
-    so the one-hot never materializes more than (L, 64, NT, 64) at once
-    (full-width one-hots OOM large waves).
+    tokens (L, K) int32 with literal entries = canonical literal rank in
+    [0, 256); lit_map8 (L, 64, 8) int8 split table (cols 0-3 = byte&127
+    for the 4 rank/64 groups, 4-7 = byte>>7). One int8 one-hot MXU pass
+    at compacted volume (~20% of bit positions) restores the byte, so
+    the emitted token stream matches the old full-descriptor design
+    bit-for-bit. Match (bit 26), EOB and error tokens pass through.
     """
-    L, W, NT = idx.shape
-    assert W % 64 == 0
-    lo6 = idx & 63
-    hi6 = idx >> 6
-
-    def chunk(_, xs):
-        lo_c, hi_c = xs  # (L, 64, NT)
-        oh = (
-            jax.lax.broadcasted_iota(jnp.int32, lo_c.shape + (64,), lo_c.ndim)
-            == lo_c[..., None]
-        ).astype(jnp.int8)
-        rows = jax.lax.dot_general(
-            oh,
-            tbl,
-            (((3,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32,
-        )  # (L, 64, NT, 10)
-        out_lo = jnp.zeros(lo_c.shape, jnp.int32)
-        out_hi = jnp.zeros(lo_c.shape, jnp.int32)
-        for h in range(5):
-            out_lo = jnp.where(hi_c == h, rows[..., h], out_lo)
-            out_hi = jnp.where(hi_c == h, rows[..., 5 + h], out_hi)
-        return None, out_lo | (out_hi << 7)
-
-    nc = W // 64
-    xs = (
-        jnp.moveaxis(lo6.reshape(L, nc, 64, NT), 1, 0),
-        jnp.moveaxis(hi6.reshape(L, nc, 64, NT), 1, 0),
-    )
-    _, ys = jax.lax.scan(chunk, None, xs)  # (nc, L, 64, NT)
-    return jnp.moveaxis(ys, 0, 1).reshape(L, W, NT)
+    L, K = tokens.shape
+    is_l = (tokens >= 0) & (tokens < 256)
+    idx = jnp.where(is_l, tokens, 0)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, K, 64), 2) == (idx & 63)[..., None]
+    ).astype(jnp.int8)
+    rows = jax.lax.dot_general(
+        oh, lit_map8, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
+    )  # (L, K, 8)
+    hi2 = idx >> 6
+    lo7 = jnp.zeros_like(idx)
+    hi1 = jnp.zeros_like(idx)
+    for g in range(4):
+        lo7 = jnp.where(hi2 == g, rows[..., g], lo7)
+        hi1 = jnp.where(hi2 == g, rows[..., 4 + g], hi1)
+    return jnp.where(is_l, lo7 | (hi1 << 7), tokens)
 
 
-def _desc_select32(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """tbl (L, 32) int32, idx (L, ...) in [0, 32) -> select chain."""
-    out = jnp.zeros_like(idx)
-    for k in range(32):
-        out = jnp.where(idx == k, _lane_bc(tbl[:, k], idx.ndim), out)
-    return out
+def apply_lit_map_chunked(tokens: jnp.ndarray, lit_map8: jnp.ndarray) -> jnp.ndarray:
+    """:func:`apply_lit_map` with the K axis processed in 2048-column
+    chunks under a scan so the one-hot never materializes more than
+    (L, 2048, 64) int8 at once."""
+    L, K = tokens.shape
+    C = 2048
+    if K <= C or K % C:
+        return apply_lit_map(tokens, lit_map8)
+    xs = jnp.moveaxis(tokens.reshape(L, K // C, C), 1, 0)
+
+    def chunk(_, t):
+        return None, apply_lit_map(t, lit_map8)
+
+    _, ys = jax.lax.scan(chunk, None, xs)
+    return jnp.moveaxis(ys, 0, 1).reshape(L, K)
 
 
 @jax.jit
@@ -362,12 +464,17 @@ def stage_a(
     payload_bits: jnp.ndarray,  # (L,) int32 valid bits per lane
     ll_sat: jnp.ndarray,  # (L, 16) uint32 litlen ladder bounds
     ll_pack: jnp.ndarray,  # (L, 16) int32 litlen ladder summands
+    ll_pack2: jnp.ndarray,  # (L, 16) int32 class-threshold summands
+    ll_init2: jnp.ndarray,  # (L,) int32
+    ll_pack3: jnp.ndarray,  # (L, 16) int32 rank-offset summands
+    ll_init3: jnp.ndarray,  # (L,) int32
+    ll_eob: jnp.ndarray,  # (L,) int32 canonical index of symbol 256
     ll_nlive: jnp.ndarray,  # (L,) int32 live litlen codes
-    ll_desc: jnp.ndarray,  # (L, 64, 10) int8 packed litlen descriptors
+    ll_mwords: jnp.ndarray,  # (L, 11) int32 match-descriptor plane words
     d_sat: jnp.ndarray,  # (L, 16) uint32 distance ladder bounds
     d_pack: jnp.ndarray,  # (L, 16) int32 distance ladder summands
     d_nlive: jnp.ndarray,  # (L,) int32 live distance codes
-    d_desc: jnp.ndarray,  # (L, 32) int32 packed distance descriptors
+    d_perm: jnp.ndarray,  # (L, 5) int32 distance-symbol plane words
     dist_empty: jnp.ndarray,  # (L,) bool
 ):
     """Per-bit-position speculative decode, tile-native layout.
@@ -380,14 +487,18 @@ def stage_a(
 
     The payload bytes are bit-reversed on device (3 shift/mask stages on
     the small byte grid) so every window is MSB-first and both Huffman
-    decodes run as bounds ladders (:func:`_ladder_decode`, 3 ops per
-    candidate length); extra-bits fields come out of the same reversed
-    windows via a 4-stage rev16.
+    decodes run as bounds ladders; symbol classification and match/
+    literal ranks ride the same ladder as packed accumulators
+    (:func:`class_ladder_tables`), match run parameters come from 11
+    single-word bit planes over the match rank, and distance parameters
+    from a 5-plane symbol permutation plus RFC 1951 closed forms — no
+    multi-word descriptor selects anywhere.
 
     Returns (delta, token), both (L, 512, NT) int32:
     - delta: bits consumed by the symbol group at each position (1..48),
       or SENT_EOB (127) / SENT_ERR (255);
-    - token: literal byte in [0,256); TOKEN_MATCH_BIT|run<<16|(dist-1)
+    - token: literal *rank* in [0,256) (:func:`apply_lit_map` restores
+      the byte after compaction); TOKEN_MATCH_BIT|run<<16|(dist-1)
       for matches; -(1+eob_code_len) at EOB positions (stage E recovers
       the exit bit for block chaining); -(100+reason_code) at error
       positions, precedence-ordered exactly as the reference's serial
@@ -420,19 +531,28 @@ def stage_a(
     vR = (u32a << r) | (b4 >> (8 - r))
     vR2 = (u32b << r) | (b8 >> (8 - r))
 
-    ln, lidx, lfound = _ladder_decode(vR, ll_sat, ll_pack, ll_nlive)
-    desc = _desc_lookup_320(ll_desc, lidx)
-    cls = desc & 3
-    run_bits = (desc >> 2) & 7
-    pay = desc >> 5
-    is_lit = lfound & (cls == 0)
-    is_eob = lfound & (cls == 1)
-    is_match = lfound & (cls >= 2)
-    reserved_len = lfound & (cls == 3)
+    ln, lidx, lfound, lit_end, res_start, lit_off, mrank_off = _ladder_decode3(
+        vR, ll_sat, ll_pack, ll_pack2, ll_init2, ll_pack3, ll_init3, ll_nlive
+    )
+    nd = lidx.ndim
+    is_lit = lfound & (lidx < lit_end)
+    is_eob = lfound & (lidx == _lane_bc(ll_eob, nd))
+    reserved_len = lfound & (lidx >= res_start)
+    is_match = lfound & ~is_lit & ~is_eob & ~reserved_len
+
+    lit_rank = lidx + lit_off
+    mrank = ((lidx + mrank_off) & 31).astype(jnp.uint32)
+    mdesc = jnp.zeros(lidx.shape, jnp.int32)
+    for bbit in range(11):
+        mdesc = mdesc | (
+            ((_lane_bc(ll_mwords[:, bbit], nd).astype(jnp.uint32) >> mrank) & 1) << bbit
+        ).astype(jnp.int32)
+    run_bits = jnp.where(is_match, mdesc & 7, 0)
+    pay = mdesc >> 3  # run_base - 3
 
     rev = (vR >> (32 - ln - run_bits).astype(jnp.uint32)).astype(jnp.int32)
     run = (pay + 3) + _rev_bits16(rev & ((1 << run_bits) - 1), run_bits)
-    d1 = ln + jnp.where(is_match, run_bits, 0)  # bits before the dist code
+    d1 = ln + run_bits  # bits before the dist code
 
     # Follow window: pure elementwise splice of the two reversed windows
     # (1 <= d1 <= 20, so >= 44 valid bits remain after the splice).
@@ -440,18 +560,24 @@ def stage_a(
     vD = (vR << d1u) | (vR2 >> (32 - d1u))
 
     dln, didx, dfound = _ladder_decode(vD, d_sat, d_pack, d_nlive)
-    dd = _desc_select32(d_desc, didx)
-    dist_bits = (dd >> 15) & 15
-    reserved_dist = (dd >> 19) != 0
+    d5 = (jnp.maximum(didx, 0) & 31).astype(jnp.uint32)
+    ds = jnp.zeros(didx.shape, jnp.int32)
+    for bbit in range(5):
+        ds = ds | (
+            ((_lane_bc(d_perm[:, bbit], nd).astype(jnp.uint32) >> d5) & 1) << bbit
+        ).astype(jnp.int32)
+    dist_bits = jnp.maximum((ds >> 1) - 1, 0)
+    reserved_dist = ds >= 30
+    dbase_m1 = jnp.where(ds < 4, ds, (2 + (ds & 1)) << dist_bits)
     drev = (vD >> (32 - dln - dist_bits).astype(jnp.uint32)).astype(jnp.int32)
-    dist = (dd & 0x7FFF) + 1 + _rev_bits16(drev & ((1 << dist_bits) - 1), dist_bits)
+    dist = dbase_m1 + 1 + _rev_bits16(drev & ((1 << dist_bits) - 1), dist_bits)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, W_TILE_P, 1), 1) + W_TILE_P * (
         jax.lax.broadcasted_iota(jnp.int32, (1, 1, NT), 2)
     )
     bits = _lane_bc(payload_bits, 3)
     end_len = pos + ln
-    end_run = end_len + jnp.where(is_match, run_bits, 0)
+    end_run = end_len + run_bits  # run_bits is 0 outside match positions
     end_dcode = end_run + dln
     end_all = end_dcode + dist_bits
 
@@ -476,7 +602,7 @@ def stage_a(
 
     token = jnp.where(
         is_lit,
-        pay,
+        lit_rank,
         TOKEN_MATCH_BIT | (jnp.clip(run, 3, 258) << 16) | jnp.clip(dist - 1, 0, 65535),
     )
     token = jnp.where(is_eob, -(1 + ln), token)
@@ -666,16 +792,23 @@ def _shift_left_ax(arr: jnp.ndarray, d: int, fill, axis: int) -> jnp.ndarray:
 
 def _compact_rounds(tok, disp, nbits: int, axis: int):
     """Log-shift displacement moves (collision-free: D[p] = p - rank(p)
-    is non-decreasing over valid items)."""
+    is non-decreasing over valid items).
+
+    Callers encode invalid slots as the disp dtype's minimum: its AND
+    with any round's bit is 0, so the take/self tests need no separate
+    validity compare, and stale tokens are left in place until the final
+    disp == 0 fix-up (a slot holds a real token iff its disp reached 0).
+    """
+    inv = disp.dtype.type(np.iinfo(disp.dtype).min)
     for k in range(nbits):
         s = 1 << k
-        d_right = _shift_left_ax(disp, s, -1, axis)
+        d_right = _shift_left_ax(disp, s, inv, axis)
         t_right = _shift_left_ax(tok, s, -1, axis)
-        take = (d_right >= 0) & ((d_right & s) != 0)
-        self_moves = (disp >= 0) & ((disp & s) != 0)
-        disp = jnp.where(take, d_right - s, jnp.where(self_moves, disp.dtype.type(-1), disp))
-        tok = jnp.where(take, t_right, jnp.where(self_moves, -1, tok))
-    return tok, disp
+        take = (d_right & s) != 0
+        self_moves = (disp & s) != 0
+        disp = jnp.where(take, d_right - s, jnp.where(self_moves, inv, disp))
+        tok = jnp.where(take, t_right, tok)
+    return jnp.where(disp == 0, tok, -1), disp
 
 
 @jax.jit
@@ -696,7 +829,7 @@ def compact_tokens(token: jnp.ndarray, valid: jnp.ndarray):
     tok = jnp.where(valid, token, -1).reshape(L, NT1, T1)
     rank = jnp.cumsum(v.astype(jnp.int16), axis=2) - 1
     pos = jnp.arange(T1, dtype=jnp.int16)[None, None, :]
-    disp = jnp.where(v, pos - rank, jnp.int16(-1))
+    disp = jnp.where(v, pos - rank, jnp.int16(np.iinfo(np.int16).min))
     tile_counts = rank[:, :, -1] + 1
     overflow = (tile_counts > K1).any()
     tok, _ = _compact_rounds(tok, disp, int(np.ceil(np.log2(T1))), axis=2)
@@ -705,7 +838,7 @@ def compact_tokens(token: jnp.ndarray, valid: jnp.ndarray):
     valid2 = tok1 >= 0
     rank2 = jnp.cumsum(valid2.astype(jnp.int32), axis=1) - 1
     pos2 = jnp.arange(NT1 * K1, dtype=jnp.int32)[None, :]
-    disp2 = jnp.where(valid2, pos2 - rank2, -1)
+    disp2 = jnp.where(valid2, pos2 - rank2, np.iinfo(np.int32).min)
     tok2, _ = _compact_rounds(tok1, disp2, int(np.ceil(np.log2(NT1 * K1))), axis=1)
     counts = jnp.sum(valid, axis=1)
     return tok2, counts, overflow
@@ -718,7 +851,7 @@ def compact_tokens_full(token: jnp.ndarray, valid: jnp.ndarray):
     L, B = token.shape
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     pos = jnp.arange(B, dtype=jnp.int32)[None, :]
-    disp = jnp.where(valid, pos - rank, -1)
+    disp = jnp.where(valid, pos - rank, np.iinfo(np.int32).min)
     tok = jnp.where(valid, token, -1)
     tok, _ = _compact_rounds(tok, disp, int(np.ceil(np.log2(B))), axis=1)
     counts = jnp.sum(valid, axis=1)
@@ -984,6 +1117,7 @@ def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.n
     dt = canonical_tables(hp.dist_lengths)
     lad = ladder_tables(llt)
     dlad = ladder_tables(dt)
+    cls = class_ladder_tables(hp.litlen_lengths, llt)
     # Shortest bits one token can consume across the wave: a literal/EOB
     # costs its litlen code; a match costs its length symbol's code plus
     # a distance code. This statically bounds tokens per 512-bit tile —
@@ -999,24 +1133,39 @@ def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.n
         "payload_bits": body_bits,
         "ll_sat": lad["sat"],
         "ll_pack": lad["pack"],
+        "ll_pack2": cls["pack2"],
+        "ll_init2": cls["init2"],
+        "ll_pack3": cls["pack3"],
+        "ll_init3": cls["init3"],
+        "ll_eob": cls["eob_cidx"],
         "ll_nlive": lad["nlive"],
-        "ll_desc": _litlen_desc_table(llt["syms"]),
+        "ll_mwords": cls["mwords"],
+        "lit_map8": cls["lit_map8"],
         "d_sat": dlad["sat"],
         "d_pack": dlad["pack"],
         "d_nlive": dlad["nlive"],
-        "d_desc": _dist_desc_table(dt["syms"][:, :32]),
+        "d_perm": dist_perm_words(dt["syms"][:, :32]),
         "dist_empty": hp.dist_empty,
         "rem": rem2,
     }
     return w, shift2
 
 
+#: Wave-dict array keys in canonical order (the sharded runner's schema).
+WAVE_KEYS = (
+    "grid", "payload_bits", "ll_sat", "ll_pack", "ll_pack2", "ll_init2",
+    "ll_pack3", "ll_init3", "ll_eob", "ll_nlive", "ll_mwords", "lit_map8",
+    "d_sat", "d_pack", "d_nlive", "d_perm", "dist_empty", "rem",
+)
+
+
 def _stage_a_wave(w: dict):
     """Run tiled stage A on a wave dict -> (delta_t, token_t) (L, 512, NT)."""
     return stage_a(
         w["grid"], w["payload_bits"],
-        w["ll_sat"], w["ll_pack"], w["ll_nlive"], w["ll_desc"],
-        w["d_sat"], w["d_pack"], w["d_nlive"], w["d_desc"], w["dist_empty"],
+        w["ll_sat"], w["ll_pack"], w["ll_pack2"], w["ll_init2"],
+        w["ll_pack3"], w["ll_init3"], w["ll_eob"], w["ll_nlive"], w["ll_mwords"],
+        w["d_sat"], w["d_pack"], w["d_nlive"], w["d_perm"], w["dist_empty"],
     )
 
 
@@ -1046,6 +1195,7 @@ def _run_wave_device(w: dict, full_compact: bool = False):
         tokens, counts, overflow = compact_tokens_full(token, valid)
     else:
         tokens, counts, overflow = compact_tokens(token, valid)
+    tokens = apply_lit_map_chunked(tokens, w["lit_map8"])
     return tokens, counts, has_eob, eob_exit, err_code, out_total, overflow
 
 
@@ -1059,7 +1209,7 @@ def compact_level2(tok1: jnp.ndarray):
     valid2 = tok1 >= 0
     rank2 = jnp.cumsum(valid2.astype(jnp.int32), axis=1) - 1
     pos2 = jnp.arange(M, dtype=jnp.int32)[None, :]
-    disp2 = jnp.where(valid2, pos2 - rank2, -1)
+    disp2 = jnp.where(valid2, pos2 - rank2, np.iinfo(np.int32).min)
     tok2, _ = _compact_rounds(tok1, disp2, int(np.ceil(np.log2(M))), axis=1)
     return tok2
 
@@ -1122,7 +1272,8 @@ def _run_wave_pallas_impl(w: dict):
     out_total = jnp.sum(summ[:, dp.ROW_SIZE_SUM, :], axis=1)
     overflow = jnp.sum(summ[:, dp.ROW_OVERFLOW, :]) > 0
 
-    tokens = compact_level2(tokc.reshape(L, NT * k1))
+    tokens = dp.compact_flat_pallas(tokc.reshape(L, NT * k1))
+    tokens = apply_lit_map_chunked(tokens, jnp.asarray(w["lit_map8"]))
     return tokens, counts, has_eob, eob_exit, err_code, out_total, overflow
 
 
@@ -1319,7 +1470,7 @@ def _prep_wave(payloads: list[bytes], lanes: int, buckets: tuple[int, ...] | Non
     return w
 
 
-def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 6) -> dict:
+def kernel_only_bench(data: bytes, *, lanes: int = V2_LANE_BATCH, reps: int = 4) -> dict:
     """Device-kernel-only decode throughput (relay link excluded).
 
     Compresses ``data`` to the member-profile stream, stages every wave's
@@ -1380,21 +1531,31 @@ def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 6) -> dict:
     force = sum(jnp.sum(w["grid"].astype(jnp.int32)) for w in waves)
     np.asarray(force)
 
-    def run_all():
+    def run_pass():
         acc = jnp.zeros((), jnp.int32)
         for w in waves:
             tokens, counts, has_eob, eob_exit, err_code, out_total, ovf = run(w)
             acc = acc + jnp.sum(out_total)
             acc = acc + jnp.sum(tokens[:, :: max(1, tokens.shape[1] // 64)])
             acc = acc + jnp.sum(counts) + jnp.sum(err_code) + ovf.astype(jnp.int32)
-        return np.asarray(acc)  # single pull forces the whole graph
+        return acc
 
-    run_all()  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
+    def run_n(n: int) -> float:
         t0 = time.monotonic()
-        run_all()
-        best = min(best, time.monotonic() - t0)
+        acc = jnp.zeros((), jnp.int32)
+        for _ in range(n):
+            acc = acc + run_pass()
+        np.asarray(acc)  # single pull forces every dispatched pass
+        return time.monotonic() - t0
+
+    run_n(1)  # compile + warm
+    # Marginal-pass timing: (T(3 passes) - T(1 pass)) / 2 cancels the
+    # fixed per-pull relay round trip (~30 ms on tunneled backends) that
+    # is not kernel work, while keeping per-wave dispatch cost — each
+    # extra pass redispatches every wave. Best-of-``reps`` for both.
+    t1 = min(run_n(1) for _ in range(reps))
+    t3 = min(run_n(3) for _ in range(reps))
+    best = max((t3 - t1) / 2, 1e-9)
 
     return {
         "lanes": lanes,
@@ -1410,12 +1571,16 @@ def kernel_only_bench(data: bytes, *, lanes: int = 64, reps: int = 6) -> dict:
     }
 
 
-def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True, mesh=None) -> bytes:
+def gzip_decompress_tpu_v2(
+    data: bytes, *, verify_crc: bool = True, mesh=None, lane_batch: int | None = None
+) -> bytes:
     """Member-parallel decode through the gather-free device pipeline.
 
     With ``mesh``, the lane axis of every device stage is sharded over the
     mesh's ``data`` axis (dist.sharded.sharded_decode) — members decode
     data-parallel across chips, bit-exact with the single-device path.
+    ``lane_batch`` (DecoderConfig.lane_batch) caps members per device
+    batch; the compiled wave shapes top out at V2_LANE_BATCH.
     """
     import io
 
@@ -1444,8 +1609,9 @@ def gzip_decompress_tpu_v2(data: bytes, *, verify_crc: bool = True, mesh=None) -
         else:
             huff.append((i, m))
 
-    for base in range(0, len(huff), V2_LANE_BATCH):
-        batch = huff[base : base + V2_LANE_BATCH]
+    batch_n = min(lane_batch or V2_LANE_BATCH, V2_LANE_BATCH)
+    for base in range(0, len(huff), batch_n):
+        batch = huff[base : base + batch_n]
         payloads = [buf[m.payload_start : m.end - 8].tobytes() for _, m in batch]
         states = decode_deflate_streams_v2(payloads, runner)
         for (i, m), st in zip(batch, states):

@@ -60,7 +60,7 @@ K1 = 160  # default level-1 token slots per tile (3.2 bits/sym floor)
 # 512-bit tile can hold (min_token_bits = shortest literal code or shortest
 # length+distance code pair), so the wave driver picks the smallest safe
 # slot count — smaller K1 => cheaper level-2 compaction, no overflow risk.
-K1_CHOICES = (104, 176)
+K1_CHOICES = (104, 136, 176)
 CT = 128  # tiles per kernel block (lane axis; Mosaic needs multiples of 128)
 _EOB_ADV = 4096
 _ERR_ADV = 8192
@@ -82,20 +82,26 @@ def _adv_from_delta(d):
 # ---------------------------------------------------------------------------
 
 # SMEM meta row layout (int32 columns per lane). Ladder tables store the
-# uint32 bounds bit-cast to int32; masks are the descriptor tables
-# bit-sliced into 32-entry words (bit j of word [b, w] = bit b of the
-# descriptor at canonical index 32*w + j).
+# uint32 bounds bit-cast to int32; acc2/acc3 are the packed class-
+# threshold / rank-offset summands of ``class_ladder_tables``; MW are
+# the 11 match-descriptor plane words (indexed by match rank < 29) and
+# DPERM the 5 distance-symbol plane words (indexed by canonical index).
 MA_LLSAT = 0
 MA_LLPACK = 16
-MA_DSAT = 32
-MA_DPACK = 48
-MA_LLNLIVE = 64
-MA_DNLIVE = 65
-MA_DEMPTY = 66
-MA_PBITS = 67
-MA_LLMASK = 72  # 13 desc bits x 10 idx windows
-MA_DMASK = 202  # 20 desc bits x 1 idx window
-META_W = 224
+MA_LLP2 = 32
+MA_LLP3 = 48
+MA_DSAT = 64
+MA_DPACK = 80
+MA_LLNLIVE = 96
+MA_DNLIVE = 97
+MA_DEMPTY = 98
+MA_PBITS = 99
+MA_EOB = 100
+MA_INIT2 = 101
+MA_INIT3 = 102
+MA_MW = 104  # 11 match-desc planes (1 word each)
+MA_DPERM = 115  # 5 dist-symbol planes (1 word each)
+META_W = 128
 
 _A_EOB = 127
 _A_ERR = 255
@@ -163,6 +169,30 @@ def _stage_a_kernel(meta_ref, gc_ref, gn_ref, d_ref, t_ref):
         found = idx < meta_ref[lane, nlive_col]
         return ln, idx, found
 
+    def ladder3(v):
+        """Litlen ladder with the class/rank accumulators riding ``ge``."""
+        acc = jnp.zeros(v.shape, jnp.int32)
+        acc2 = jnp.full(v.shape, meta_ref[lane, MA_INIT2], jnp.int32)
+        acc3 = jnp.full(v.shape, meta_ref[lane, MA_INIT3], jnp.int32)
+        for l in range(1, 15):
+            sat = meta_ref[lane, MA_LLSAT + l].astype(jnp.uint32)
+            ge = v >= sat
+            acc = jnp.where(ge, acc + meta_ref[lane, MA_LLPACK + l], acc)
+            acc2 = jnp.where(ge, acc2 + meta_ref[lane, MA_LLP2 + l], acc2)
+            acc3 = jnp.where(ge, acc3 + meta_ref[lane, MA_LLP3 + l], acc3)
+        cnt = acc >> 20
+        ln = 1 + cnt
+        off = (acc & 0xFFFFF) - (cnt << 16)
+        c = (v >> (31 - cnt).astype(jnp.uint32)).astype(jnp.int32)
+        idx = c + off
+        found = idx < meta_ref[lane, MA_LLNLIVE]
+        lnb = ln << 12
+        lit_end = ((acc2 >> 16) & 0xFFFF) - lnb
+        res_start = (acc2 & 0xFFFF) - lnb
+        lit_off = ((acc3 >> 16) & 0xFFFF) - lnb
+        mrank_off = (acc3 & 0xFFFF) - lnb
+        return ln, idx, found, lit_end, res_start, lit_off, mrank_off
+
     def rev_low16(x, k):
         x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
         x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
@@ -170,46 +200,40 @@ def _stage_a_kernel(meta_ref, gc_ref, gn_ref, d_ref, t_ref):
         x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
         return x >> (16 - k)
 
-    ln, lidx, lfound = ladder(vR, MA_LLSAT, MA_LLPACK, MA_LLNLIVE)
+    ln, lidx, lfound, lit_end, res_start, lit_off, mrank_off = ladder3(vR)
+    is_lit = lfound & (lidx < lit_end)
+    is_eob = lfound & (lidx == meta_ref[lane, MA_EOB])
+    reserved_len = lfound & (lidx >= res_start)
+    is_match = lfound & ~is_lit & ~is_eob & ~reserved_len
 
-    # Litlen descriptor: 13 bit-sliced mask planes of 10 words each.
-    idx9 = lidx & 511
-    wsel = idx9 >> 5
-    lo5 = (idx9 & 31).astype(jnp.uint32)
-    desc = jnp.zeros(lidx.shape, jnp.int32)
-    for bbit in range(13):
-        word = jnp.zeros(lidx.shape, jnp.int32)
-        for wi in range(10):
-            word = jnp.where(wsel == wi, meta_ref[lane, MA_LLMASK + bbit * 10 + wi], word)
-        bit = (word.astype(jnp.uint32) >> lo5).astype(jnp.int32) & 1
-        desc = desc | (bit << bbit)
-
-    cls = desc & 3
-    run_bits = (desc >> 2) & 7
-    pay = desc >> 5
-    is_lit = lfound & (cls == 0)
-    is_eob = lfound & (cls == 1)
-    is_match = lfound & (cls >= 2)
-    reserved_len = lfound & (cls == 3)
+    lit_rank = lidx + lit_off
+    mrank = ((lidx + mrank_off) & 31).astype(jnp.uint32)
+    mdesc = jnp.zeros(lidx.shape, jnp.int32)
+    for bbit in range(11):
+        mw = meta_ref[lane, MA_MW + bbit].astype(jnp.uint32)
+        mdesc = mdesc | (((mw >> mrank) & 1) << bbit).astype(jnp.int32)
+    run_bits = jnp.where(is_match, mdesc & 7, 0)
+    pay = mdesc >> 3  # run_base - 3
 
     rev = (vR >> (32 - ln - run_bits).astype(jnp.uint32)).astype(jnp.int32)
     run = (pay + 3) + rev_low16(rev & ((1 << run_bits) - 1), run_bits)
-    d1 = ln + jnp.where(is_match, run_bits, 0)
+    d1 = ln + run_bits
     d1u = d1.astype(jnp.uint32)
     vD = (vR << d1u) | (vR2 >> (32 - d1u))
 
     dln, didx, dfound = ladder(vD, MA_DSAT, MA_DPACK, MA_DNLIVE)
 
-    # Distance descriptor: 20 bit-sliced mask words (32 entries each).
-    d5 = jnp.clip(didx, 0, 31).astype(jnp.uint32)
-    dd = jnp.zeros(didx.shape, jnp.int32)
-    for bbit in range(20):
-        m = meta_ref[lane, MA_DMASK + bbit].astype(jnp.uint32)
-        dd = dd | (((m >> d5).astype(jnp.int32) & 1) << bbit)
-    dist_bits = (dd >> 15) & 15
-    reserved_dist = (dd >> 19) != 0
+    # Distance symbol via 5 single-word planes + RFC 1951 closed forms.
+    d5 = jnp.maximum(didx, 0).astype(jnp.uint32) & 31
+    ds = jnp.zeros(didx.shape, jnp.int32)
+    for bbit in range(5):
+        m = meta_ref[lane, MA_DPERM + bbit].astype(jnp.uint32)
+        ds = ds | (((m >> d5).astype(jnp.int32) & 1) << bbit)
+    dist_bits = jnp.maximum((ds >> 1) - 1, 0)
+    reserved_dist = ds >= 30
+    dbase_m1 = jnp.where(ds < 4, ds, (2 + (ds & 1)) << dist_bits)
     drev = (vD >> (32 - dln - dist_bits).astype(jnp.uint32)).astype(jnp.int32)
-    dist = (dd & 0x7FFF) + 1 + rev_low16(drev & ((1 << dist_bits) - 1), dist_bits)
+    dist = dbase_m1 + 1 + rev_low16(drev & ((1 << dist_bits) - 1), dist_bits)
 
     q8 = jax.lax.broadcasted_iota(jnp.int32, (64, 8, 1), 0) * 8
     rr = jax.lax.broadcasted_iota(jnp.int32, (64, 8, 1), 1)
@@ -218,7 +242,7 @@ def _stage_a_kernel(meta_ref, gc_ref, gn_ref, d_ref, t_ref):
     bits = meta_ref[lane, MA_PBITS]
     dist_empty = meta_ref[lane, MA_DEMPTY] != 0
     end_len = pos + ln
-    end_run = end_len + jnp.where(is_match, run_bits, 0)
+    end_run = end_len + run_bits  # run_bits is 0 outside match positions
     end_dcode = end_run + dln
     end_all = end_dcode + dist_bits
 
@@ -241,7 +265,7 @@ def _stage_a_kernel(meta_ref, gc_ref, gn_ref, d_ref, t_ref):
     delta = jnp.where(errc != 0, _A_ERR, jnp.where(is_eob, _A_EOB, adv))
     token = jnp.where(
         is_lit,
-        pay,
+        lit_rank,
         TOKEN_MATCH_BIT
         | (jnp.clip(run, 3, 258) << 16)
         | jnp.clip(dist - 1, 0, 65535),
@@ -299,8 +323,6 @@ def build_meta(w: dict) -> jnp.ndarray:
     arrays — no extra uploads)."""
     ll_sat = jax.lax.bitcast_convert_type(jnp.asarray(w["ll_sat"]), jnp.int32)
     d_sat = jax.lax.bitcast_convert_type(jnp.asarray(w["d_sat"]), jnp.int32)
-    ll_pack = jnp.asarray(w["ll_pack"])
-    d_pack = jnp.asarray(w["d_pack"])
     L = ll_sat.shape[0]
     scal = jnp.stack(
         [
@@ -308,29 +330,28 @@ def build_meta(w: dict) -> jnp.ndarray:
             jnp.asarray(w["d_nlive"]).astype(jnp.int32),
             jnp.asarray(w["dist_empty"]).astype(jnp.int32),
             jnp.asarray(w["payload_bits"]).astype(jnp.int32),
+            jnp.asarray(w["ll_eob"]).astype(jnp.int32),
+            jnp.asarray(w["ll_init2"]).astype(jnp.int32),
+            jnp.asarray(w["ll_init3"]).astype(jnp.int32),
+            jnp.zeros(L, jnp.int32),
         ],
         axis=1,
-    )  # (L, 4)
-    pad4 = jnp.zeros((L, 4), jnp.int32)
-
-    # Reconstruct the 320-entry litlen descriptors from the split int8
-    # table (grid[l, lo, g] = desc[g*64 + lo]) and bit-slice them.
-    t8 = jnp.asarray(w["ll_desc"]).astype(jnp.int32)  # (L, 64, 10)
-    desc = (t8[:, :, :5] | (t8[:, :, 5:] << 7)).transpose(0, 2, 1).reshape(L, 320)
-    da = desc.reshape(L, 10, 32)
-    bsel = jnp.arange(13, dtype=jnp.int32)[None, :, None, None]
-    jsel = jnp.arange(32, dtype=jnp.int32)[None, None, None, :]
-    ll_mask = jnp.sum(((da[:, None] >> bsel) & 1) << jsel, axis=3).reshape(L, 130)
-
-    ddsc = jnp.asarray(w["d_desc"])  # (L, 32) int32
-    bsel2 = jnp.arange(20, dtype=jnp.int32)[None, :, None]
-    jsel2 = jnp.arange(32, dtype=jnp.int32)[None, None, :]
-    d_mask = jnp.sum(((ddsc[:, None] >> bsel2) & 1) << jsel2, axis=2)  # (L, 20)
-
+    )  # (L, 8) at MA_LLNLIVE..MA_INIT3+pad
     meta = jnp.concatenate(
-        [ll_sat, ll_pack, d_sat, d_pack, scal, pad4, ll_mask, d_mask], axis=1
+        [
+            ll_sat,
+            jnp.asarray(w["ll_pack"]),
+            jnp.asarray(w["ll_pack2"]),
+            jnp.asarray(w["ll_pack3"]),
+            d_sat,
+            jnp.asarray(w["d_pack"]),
+            scal,
+            jnp.asarray(w["ll_mwords"]),
+            jnp.asarray(w["d_perm"]),
+        ],
+        axis=1,
     )
-    assert meta.shape[1] == MA_DMASK + 20
+    assert meta.shape[1] == MA_DPERM + 5
     return jnp.pad(meta, ((0, 0), (0, META_W - meta.shape[1])))
 
 
@@ -444,23 +465,113 @@ def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref, reach_ref):
     sum_ref[0] = summary
 
     # Level-1 compaction: displacement moves (collision-free since
-    # disp = pos - rank is non-decreasing over valid positions).
+    # disp = pos - rank is non-decreasing over valid positions). The
+    # invalid sentinel is INT32_MIN: its AND with any round's bit is 0,
+    # so take/self tests need no separate validity check, and stale
+    # tokens are never nulled mid-rounds — a slot holds a real token
+    # exactly when its disp reaches 0 after the final round.
+    INV = jnp.int32(-0x80000000)
     rank = _cumsum_sublanes(valid) - 1
-    disp = jnp.where(valid == 1, pos - rank, -1)
-    tokv = jnp.where(valid == 1, tok, -1)
+    disp = jnp.where(valid == 1, pos - rank, INV)
+    tokv = tok
     sh = 1
     while sh < W_P:
         d_right = pltpu.roll(disp, shift=W_P - sh, axis=0)
         t_right = pltpu.roll(tokv, shift=W_P - sh, axis=0)
-        in_range = pos < (W_P - sh)
-        d_right = jnp.where(in_range, d_right, -1)
-        t_right = jnp.where(in_range, t_right, -1)
-        take = (d_right >= 0) & ((d_right & sh) != 0)
-        self_mv = (disp >= 0) & ((disp & sh) != 0)
-        disp = jnp.where(take, d_right - sh, jnp.where(self_mv, -1, disp))
-        tokv = jnp.where(take, t_right, jnp.where(self_mv, -1, tokv))
+        d_right = jnp.where(pos < (W_P - sh), d_right, INV)
+        take = (d_right & sh) != 0
+        self_mv = (disp & sh) != 0
+        disp = jnp.where(take, d_right - sh, jnp.where(self_mv, INV, disp))
+        tokv = jnp.where(take, t_right, tokv)
         sh *= 2
-    tok_ref[0] = tokv[:k1, :]
+    tok_ref[0] = jnp.where(disp[:k1, :] == 0, tokv[:k1, :], -1)
+
+
+# ---------------------------------------------------------------------------
+# Level-2 compaction: whole-lane displacement moves in VMEM
+# ---------------------------------------------------------------------------
+
+
+def _compact_flat_kernel(t_ref, out_ref):
+    """Compact one lane's tile-compacted tokens to the front.
+
+    t_ref/out_ref (1, R, 128) int32, rows flattening a length M = R*128
+    token array in row-major order (-1 padding). The XLA twin
+    (``decode_jax_v2.compact_level2``) round-trips HBM on every one of
+    its ~17 move rounds (measured 17 ms on a 256-lane wave — the single
+    largest stage); here rank cumsum + all move rounds stay VMEM-resident.
+    Flattened-order shifts by s decompose into a lane-axis rotate plus a
+    one-row sublane carry (s < 128) or a pure sublane rotate (s % 128 == 0).
+    """
+    x = t_ref[0]  # (R, 128)
+    R = x.shape[0]
+    M = R * 128
+    INV = jnp.int32(-0x80000000)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    pos = row * 128 + lane
+
+    def read_fwd(arr, s, fill):
+        """out[p] = arr[p + s] (fill past the end)."""
+        if s % 128 == 0:
+            a = pltpu.roll(arr, shift=(R - s // 128) % R, axis=0)
+        else:
+            a = pltpu.roll(arr, shift=128 - s, axis=1)
+            b = pltpu.roll(a, shift=R - 1, axis=0)
+            a = jnp.where(lane >= 128 - s, b, a)
+        return jnp.where(pos < M - s, a, fill)
+
+    def read_back(arr, s, fill):
+        """out[p] = arr[p - s] (fill before the start)."""
+        if s % 128 == 0:
+            a = pltpu.roll(arr, shift=s // 128, axis=0)
+        else:
+            a = pltpu.roll(arr, shift=s, axis=1)
+            b = pltpu.roll(a, shift=1, axis=0)
+            a = jnp.where(lane < s, b, a)
+        return jnp.where(pos >= s, a, fill)
+
+    c = (x >= 0).astype(jnp.int32)
+    s = 1
+    while s < M:
+        c = c + read_back(c, s, 0)
+        s *= 2
+    rank = c - 1
+    disp = jnp.where(x >= 0, pos - rank, INV)
+    tok = x
+    s = 1
+    while s < M:
+        d_r = read_fwd(disp, s, INV)
+        t_r = read_fwd(tok, s, -1)
+        take = (d_r & s) != 0
+        self_mv = (disp & s) != 0
+        disp = jnp.where(take, d_r - s, jnp.where(self_mv, INV, disp))
+        tok = jnp.where(take, t_r, tok)
+        s *= 2
+    out_ref[0] = jnp.where(disp == 0, tok, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _compact_flat_jit(tok: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """tok (L, M) int32, M % 128 == 0 -> front-compacted (L, M)."""
+    L, M = tok.shape
+    assert M % 128 == 0
+    R = M // 128
+    out = pl.pallas_call(
+        _compact_flat_kernel,
+        grid=(L,),
+        in_specs=[pl.BlockSpec((1, R, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, R, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, R, 128), jnp.int32),
+        interpret=interpret,
+    )(tok.reshape(L, R, 128))
+    return out.reshape(L, M)
+
+
+def compact_flat_pallas(tok: jnp.ndarray, *, interpret: bool | None = None) -> jnp.ndarray:
+    if interpret is None:
+        interpret = _interpret_default()
+    return _compact_flat_jit(tok, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,20 @@ from ..kernels.huffman import huffman_lengths_batch
 from .deflate_encode import _CLEN_EXTRA_BITS, _clen_rle
 from .profile import MEMBER_DATA, build_member
 
+
+def _device_crc_wanted() -> bool:
+    """Batched device member-CRC only where it helps: a directly-attached
+    TPU (or forced via TPU_DEFLATE_DEVICE_CRC=1 for testing)."""
+    import os
+
+    v = os.environ.get("TPU_DEFLATE_DEVICE_CRC")
+    if v is not None:
+        return v not in ("", "0")
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
 HASH_BITS = 16
 K_CANDIDATES = 8
 MAX_CODE_BITS = 15  # full RFC 1951 range (package-merge cap)
@@ -568,7 +582,19 @@ def _assemble_members(em) -> bytes:
     total_bits = np.asarray(total_bits)
     L = words.shape[0]
 
-    # CRCs for all lanes (host vectorized; device variant available).
+    # Member CRCs: one batched device call when the chip is directly
+    # attached (platform "tpu") — the member bytes ride a fast local
+    # link and the host sheds the whole CRC pass. On tunneled backends
+    # ("axon", ~20-80 MB/s relay) or CPU the host slice-by-8 C kernel
+    # wins, so re-uploading would be performative; host CRC is used.
+    crcs = None
+    if _device_crc_wanted():
+        try:
+            from ..kernels.checksum_jax import crc32_members
+
+            crcs = crc32_members(padded[:L_real], lengths[:L_real])
+        except Exception:
+            crcs = None
     out = bytearray()
     payload_bytes = words.view(np.uint8).reshape(L, -1)
     if not np.little_endian:  # pragma: no cover
@@ -576,7 +602,7 @@ def _assemble_members(em) -> bytes:
     for l in range(L_real):
         ln = int(lengths[l])
         member_data = padded[l, :ln]
-        crc = crc32(member_data)
+        crc = int(crcs[l]) if crcs is not None else crc32(member_data)
         nbytes = (int(total_bits[l]) + 7) // 8
         stored_cost = ln + 5 * (-(-ln // 65535)) + 1
         if nbytes >= stored_cost:

@@ -38,8 +38,9 @@ class DecoderConfig:
     buffer_size: int = 16 * 1024
     verify_crc: bool = True
     engine: str = "auto"
-    # device decode
-    lane_batch: int = 64
+    # device decode: members per batched device dispatch (consumed by
+    # engine.decompress -> gzip_decompress_tpu_v2; capped at V2_LANE_BATCH)
+    lane_batch: int = 256
     # failure isolation (SURVEY.md §5.3): "raise" fails the job on the
     # first bad member; "skip" drops bad members and records them.
     on_error: str = "raise"

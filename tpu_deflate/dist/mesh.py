@@ -76,6 +76,24 @@ def make_pod_mesh(hosts: int, chips_per_host: int) -> Mesh:
     return Mesh(devs, ("host", "data"))
 
 
+def mesh_from_config(cfg) -> Mesh | None:
+    """Build the mesh a :class:`~tpu_deflate.config.MeshConfig` describes.
+
+    Returns None for the trivial 1x1 topology (single-device paths need
+    no mesh). hosts > 1 yields the 2-D (host, data) pod mesh; otherwise a
+    1-D mesh over ``chips_per_host`` devices under the configured axis
+    name. ≙ SURVEY.md §5.6: every config knob has a consumer.
+    """
+    if cfg.hosts <= 1 and cfg.chips_per_host <= 1:
+        return None
+    if cfg.hosts > 1:
+        devs = np.array(jax.devices()[: cfg.hosts * cfg.chips_per_host]).reshape(
+            cfg.hosts, cfg.chips_per_host
+        )
+        return Mesh(devs, (cfg.host_axis, cfg.data_axis))
+    return Mesh(np.array(jax.devices()[: cfg.chips_per_host]), (cfg.data_axis,))
+
+
 def lane_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (lane/member) dimension, replicate the rest."""
     return NamedSharding(mesh, P(axis))

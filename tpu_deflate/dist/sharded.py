@@ -183,10 +183,7 @@ def sharded_decode(mesh: Mesh, axis: str = "data"):
     lane = NamedSharding(mesh, P(axis))
     n = mesh.devices.size
 
-    keys = (
-        "grid", "payload_bits", "ll_sat", "ll_pack", "ll_nlive",
-        "ll_desc", "d_sat", "d_pack", "d_nlive", "d_desc", "dist_empty", "rem",
-    )
+    keys = v2.WAVE_KEYS
 
     @jax.jit
     def run_tuple(*args):

@@ -97,7 +97,14 @@ def decompress(data: bytes, *, engine: str | None = None, config=None, mesh=None
     decode's lane axis data-parallel over the mesh — multi-chip decode
     with bit-exact single-device semantics.
     """
+    from .config import FrameworkConfig
+
     cfg = _decoder_cfg(config)
+    if mesh is None and isinstance(config, FrameworkConfig):
+        # A non-trivial MeshConfig selects the sharded device decode.
+        from .dist.mesh import mesh_from_config
+
+        mesh = mesh_from_config(config.mesh)
     if mesh is not None:
         engine = "tpu"
     else:
@@ -109,7 +116,9 @@ def decompress(data: bytes, *, engine: str | None = None, config=None, mesh=None
     if engine == "tpu":
         from .codec.decode_jax_v2 import gzip_decompress_tpu_v2
 
-        return gzip_decompress_tpu_v2(data, verify_crc=cfg.verify_crc, mesh=mesh)
+        return gzip_decompress_tpu_v2(
+            data, verify_crc=cfg.verify_crc, mesh=mesh, lane_batch=cfg.lane_batch
+        )
     import tpu_deflate as td
 
     return td.gzip_decompress(data)

@@ -225,3 +225,57 @@ def test_pod_2d_encode_matches_single_chip():
     )
     np.testing.assert_array_equal(np.asarray(bits_2d), np.asarray(bits_1))
     np.testing.assert_array_equal(np.asarray(words_2d), np.asarray(words_1))
+
+
+def test_sharded_continuous_compress():
+    """SP/CP seam: halo-exchanged shards encode in parallel into ONE
+    continuous-history member whose ratio matches the serial continuous
+    encoder within 0.1pp (bit-splice of alignment-independent Huffman
+    bodies), and whose stream round-trips through independent decoders."""
+    native = pytest.importorskip("tpu_deflate.native")
+    if not native.available():
+        pytest.skip("native core unavailable")
+    import gzip as sysgzip
+    import io
+
+    from tpu_deflate.dist.mesh import make_codec_mesh
+    from tpu_deflate.dist.sharded import sharded_continuous_compress
+
+    rng = np.random.default_rng(21)
+    words = [rng.integers(97, 123, rng.integers(2, 10), dtype=np.uint8) for _ in range(150)]
+    data = np.concatenate(
+        [words[i] for i in rng.integers(0, 150, 200000)]
+    )[: 1 << 20].tobytes()
+
+    mesh = make_codec_mesh(8)
+    gz = sharded_continuous_compress(data, mesh, block_data=32 * 1024, max_chain=128)
+    assert sysgzip.GzipFile(fileobj=io.BytesIO(gz)).read() == data
+    from tpu_deflate.engine import decompress
+
+    assert decompress(gz, engine="native") == data
+    serial = native.compress_continuous_native(
+        data, block_data=32 * 1024, max_chain=128
+    )
+    assert sysgzip.GzipFile(fileobj=io.BytesIO(serial)).read() == data
+    ratio_sharded = len(gz) / len(data)
+    ratio_serial = len(serial) / len(data)
+    assert ratio_sharded <= ratio_serial + 0.001, (ratio_sharded, ratio_serial)
+
+
+def test_sharded_continuous_tiny_and_ragged():
+    """Degenerate shapes: input smaller than one shard, and a ragged tail
+    lane — empty lanes must contribute nothing."""
+    native = pytest.importorskip("tpu_deflate.native")
+    if not native.available():
+        pytest.skip("native core unavailable")
+    import gzip as sysgzip
+    import io
+
+    from tpu_deflate.dist.mesh import make_codec_mesh
+    from tpu_deflate.dist.sharded import sharded_continuous_compress
+
+    mesh = make_codec_mesh(8)
+    for n in [1, 100, 70000, 300001]:
+        data = (b"abcdefgh" * ((n + 7) // 8))[:n]
+        gz = sharded_continuous_compress(data, mesh, block_data=16 * 1024)
+        assert sysgzip.GzipFile(fileobj=io.BytesIO(gz)).read() == data, n

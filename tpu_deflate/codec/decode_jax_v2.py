@@ -1007,16 +1007,26 @@ def _decode_huffman_wave(wave: list[LaneState], runner=None) -> None:
         st.bitpos_advanced = False
     buckets = _p_buckets()
     lane_multiple = getattr(runner, "lane_multiple", 1)
-    groups: dict[int, list[LaneState]] = {}
-    for st in wave:
+    # Group key: padded-payload bucket, plus the lane's k1 compaction
+    # bucket on the pallas path (one short-code lane must not widen the
+    # level-1 slot count — and with it the level-2/map volume — of a
+    # whole wave).
+    k1s = (
+        _k1_groups([st.payload for st in wave], [st.bitpos for st in wave])
+        if runner is None and _use_pallas()
+        else [0] * len(wave)
+    )
+    groups: dict[tuple[int, int], list[LaneState]] = {}
+    for st, k1 in zip(wave, k1s):
         avail = len(st.payload) - st.bitpos // 8
-        groups.setdefault(_bucket(max(min(avail, st.window), 1), buckets), []).append(st)
+        key = (_bucket(max(min(avail, st.window), 1), buckets), k1)
+        groups.setdefault(key, []).append(st)
     # Two phases: dispatch every subwave's device program first (uploads
     # and kernels of different subwaves overlap — the device queue stays
     # full), then pull and apply results. Per-subwave sync was the e2e
     # bottleneck on tunneled backends.
     pending = []
-    for P, grp in sorted(groups.items()):
+    for (P, _k1), grp in sorted(groups.items()):
         lmax = _lane_cap(P, lane_multiple)
         for base in range(0, len(grp), lmax):
             pend = _decode_huffman_subwave(grp[base : base + lmax], P, runner)
@@ -1122,11 +1132,7 @@ def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.n
     # costs its litlen code; a match costs its length symbol's code plus
     # a distance code. This statically bounds tokens per 512-bit tile —
     # the pallas runner picks the level-1 slot count (k1) from it.
-    ll, dl = hp.litlen_lengths, hp.dist_lengths
-    min_lit = int(np.where(ll[:, :257] > 0, ll[:, :257], 99).min())
-    min_len = int(np.where(ll[:, 257:] > 0, ll[:, 257:], 99).min())
-    min_dist = int(np.where(dl > 0, dl, 99).min())
-    min_tok = min(min_lit, min_len + min_dist)
+    min_tok = int(lane_min_tok_bits(hp).min())
     w = {
         "_min_tok_bits": min_tok,
         "grid": _byte_grid(shifted),
@@ -1149,6 +1155,57 @@ def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.n
         "rem": rem2,
     }
     return w, shift2
+
+
+def lane_min_tok_bits(hp) -> np.ndarray:
+    """(L,) shortest bits one token can consume per lane: a literal/EOB
+    costs its litlen code; a match its length code plus a distance code.
+    Statically bounds tokens per 512-bit tile — the pallas driver picks
+    the level-1 compaction slot count (k1) from it, and the wave grouper
+    keeps lanes with similar bounds together so one degenerate
+    short-code lane does not widen every other lane's compaction."""
+    ll, dl = hp.litlen_lengths, hp.dist_lengths
+    min_lit = np.where(ll[:, :257] > 0, ll[:, :257], 99).min(axis=1)
+    min_len = np.where(ll[:, 257:] > 0, ll[:, 257:], 99).min(axis=1)
+    min_dist = np.where(dl > 0, dl, 99).min(axis=1)
+    return np.minimum(min_lit, min_len + min_dist)
+
+
+def _lane_k1(min_tok: int) -> int:
+    """The k1 bucket a lane with this min-token-bits bound lands in."""
+    from . import decode_pallas as dp
+
+    bound = W_TILE_P // max(int(min_tok), 1) + 1
+    return next((k for k in dp.K1_CHOICES if bound <= k), dp.K1_CHOICES[-1])
+
+
+def _k1_groups(payloads_or_rows, bitpos_list) -> list[int]:
+    """Per-payload k1 bucket from a batched prefix header parse.
+
+    Headers fit well inside 1 KiB (a maximal dynamic header is ~570
+    bytes); on any parse trouble the lane gets the widest k1 (the full
+    parse later surfaces the real error on the right lane)."""
+    from . import decode_jax as dj
+
+    n = len(payloads_or_rows)
+    P = 1024
+    rows = np.zeros((n, P), np.uint8)
+    row_bits = np.zeros(n, np.int64)
+    start_bits = np.zeros(n, np.int64)
+    for i, (p, bp) in enumerate(zip(payloads_or_rows, bitpos_list)):
+        sh = bp // 8
+        m = min(len(p) - sh, P)
+        rows[i, :m] = np.frombuffer(p, np.uint8, m, sh)
+        row_bits[i] = m * 8
+        start_bits[i] = bp % 8
+    from . import decode_pallas as dp
+
+    try:
+        hp = dj.parse_headers_batch(rows, row_bits, start_bits=start_bits)
+        mt = lane_min_tok_bits(hp)
+        return [_lane_k1(int(m)) for m in mt]
+    except Exception:
+        return [dp.K1_CHOICES[-1]] * n
 
 
 #: Wave-dict array keys in canonical order (the sharded runner's schema).
@@ -1513,13 +1570,19 @@ def kernel_only_bench(data: bytes, *, lanes: int = V2_LANE_BATCH, reps: int = 4)
     run = _run_wave_pallas if _use_pallas() else _run_wave_unfused
     buckets = _p_buckets()
 
-    # Group payloads by padded bucket (same policy as the engine driver)
-    # so padding waste doesn't inflate the measured device work.
-    bygroup: dict[int, list[bytes]] = {}
-    for p in payloads:
-        bygroup.setdefault(_bucket(len(p), buckets), []).append(p)
+    # Group payloads by (padded bucket, k1 bucket) — same policy as the
+    # engine driver — so padding waste and one lane's short codes don't
+    # inflate the measured device work of the others.
+    k1s = (
+        _k1_groups(payloads, [0] * len(payloads))
+        if _use_pallas()
+        else [0] * len(payloads)
+    )
+    bygroup: dict[tuple[int, int], list[bytes]] = {}
+    for p, k1 in zip(payloads, k1s):
+        bygroup.setdefault((_bucket(len(p), buckets), k1), []).append(p)
     waves = []
-    for P, grp in sorted(bygroup.items()):
+    for (P, _k1), grp in sorted(bygroup.items()):
         lmax = min(lanes, _lane_cap(P, 1))
         for base in range(0, len(grp), lmax):
             chunk = grp[base : base + lmax]

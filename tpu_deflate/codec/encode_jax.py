@@ -56,7 +56,7 @@ def _device_crc_wanted() -> bool:
         return False
 
 HASH_BITS = 16
-K_CANDIDATES = 8
+K_CANDIDATES = 16  # sorted-space candidates are static shifts: K is cheap now
 MAX_CODE_BITS = 15  # full RFC 1951 range (package-merge cap)
 ENC_LANE_BATCH = 64  # members per device dispatch
 _ENC_L_BUCKETS = (4, 16, ENC_LANE_BATCH)
@@ -151,30 +151,81 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
     valid = pos < lengths[:, None]
     w32 = _u32_windows(data)
+    w32b = jnp.concatenate([w32[:, 4:], jnp.zeros((L, 4), jnp.uint32)], axis=1)
     lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
-
-    # --- hashing + in-bucket neighbor candidates -----------------------
     idx = jnp.broadcast_to(pos, (L, S))
 
-    def bucket_neighbors(h):
-        """Stable sort by hash; returns (order, rank, inv): each
-        position's k-th previous same-hash occurrence is its k-th
-        in-bucket predecessor."""
+    # --- hash-bucket candidates, evaluated in SORTED space -------------
+    # One stable argsort groups equal hashes with in-bucket positions
+    # ascending; the k-th previous same-hash occurrence is then a STATIC
+    # shift of the sorted arrays. Pre-gathering the two window words into
+    # sorted order (2 gathers) makes the whole K-candidate evaluation
+    # gather-free — the old design paid ~6 dynamic gathers per candidate,
+    # the one op class this backend runs at walking pace. Results return
+    # to position space with 2 packed scatters per hash family.
+    # ≙ the reference's exhaustive distance scan (comp/Lz77Huffman.java:
+    # 71-84) restricted to the K nearest same-hash candidates.
+    def shr(a, k, fill=0):
+        return jnp.concatenate(
+            [jnp.full((L, k), fill, a.dtype), a[:, : S - k]], axis=1
+        )
+
+    def bucket_best(h, K):
+        """Best-two (prefix8-len, candidate-pos) per position, via sorted
+        space; returns them scattered back to position order."""
         order = jnp.argsort(h, axis=1, stable=True).astype(jnp.int32)
         sorted_h = jnp.take_along_axis(h, order, axis=1)
+        si = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (L, S))
         changed = jnp.concatenate(
             [jnp.ones((L, 1), bool), sorted_h[:, 1:] != sorted_h[:, :-1]], axis=1
         )
         group_first = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(changed, idx, -1), axis=1
+            jnp.maximum, jnp.where(changed, si, -1), axis=1
         )
-        rank = idx - group_first
-        inv = jnp.zeros((L, S), jnp.int32).at[lanes, order].set(idx)
-        return order, rank, inv
+        rank = si - group_first
+        sa = jnp.take_along_axis(w32, order, axis=1)
+        sb = jnp.take_along_axis(w32b, order, axis=1)
+        live = sorted_h != -1
+
+        def lcp8v(x0, x1):
+            l0 = (
+                ((x0 & 0xFF) == 0).astype(jnp.int32)
+                + ((x0 & 0xFFFF) == 0).astype(jnp.int32)
+                + ((x0 & 0xFFFFFF) == 0).astype(jnp.int32)
+                + (x0 == 0).astype(jnp.int32)
+            )
+            l1 = (
+                ((x1 & 0xFF) == 0).astype(jnp.int32)
+                + ((x1 & 0xFFFF) == 0).astype(jnp.int32)
+                + ((x1 & 0xFFFFFF) == 0).astype(jnp.int32)
+                + (x1 == 0).astype(jnp.int32)
+            )
+            return l0 + jnp.where(l0 == 4, l1, 0)
+
+        blen = jnp.zeros((L, S), jnp.int32)
+        bcand = jnp.full((L, S), -1, jnp.int32)
+        b2len = jnp.zeros((L, S), jnp.int32)
+        b2cand = jnp.full((L, S), -1, jnp.int32)
+        for k in range(1, K + 1):
+            cand = shr(order, k, -1)
+            dist = order - cand
+            ok = live & (rank >= k) & (dist >= 1) & (dist <= 32 * 1024)
+            l8 = jnp.where(ok, lcp8v(sa ^ shr(sa, k), sb ^ shr(sb, k)), 0)
+            better = l8 > blen
+            better2 = ~better & (l8 > b2len)
+            b2len = jnp.where(better, blen, jnp.where(better2, l8, b2len))
+            b2cand = jnp.where(better, bcand, jnp.where(better2, cand, b2cand))
+            blen = jnp.where(better, l8, blen)
+            bcand = jnp.where(better, cand, bcand)
+        # Pack (len 4b | cand+1 17b) and return to position order.
+        p1 = ((bcand + 1) | (blen << 18)).astype(jnp.int32)
+        p2 = ((b2cand + 1) | (b2len << 18)).astype(jnp.int32)
+        o1 = jnp.zeros((L, S), jnp.int32).at[lanes, order].set(p1)
+        o2 = jnp.zeros((L, S), jnp.int32).at[lanes, order].set(p2)
+        return o1, o2
 
     h4 = ((w32 * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
     h4 = jnp.where(valid, h4, -1)
-    o4, r4, i4 = bucket_neighbors(h4)
     # 3-byte hash: reaches run-3 matches and positions whose 4-byte
     # window is broken by non-repeating bytes (the exhaustive reference
     # scan has no such blind spot, comp/Lz77Huffman.java:71-84).
@@ -182,20 +233,17 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
         jnp.int32
     )
     h3 = jnp.where(valid, h3, -1)
-    o3, r3, i3 = bucket_neighbors(h3)
+    q1, q2 = bucket_best(h4, K_CANDIDATES)
+    q3, _ = bucket_best(h3, 2)
 
-    # Track the best two candidates by (lcp8, nearness): the second
-    # extension below recovers longer matches hiding behind an equal
-    # 8-byte prefix (reference semantics keep the longest overall).
     best_len = jnp.zeros((L, S), jnp.int32)
     best_cand = jnp.full((L, S), -1, jnp.int32)
     best2_len = jnp.zeros((L, S), jnp.int32)
     best2_cand = jnp.full((L, S), -1, jnp.int32)
 
-    def consider(cand, ok, best_len, best_cand, best2_len, best2_cand):
-        dist = idx - cand
-        ok = ok & (dist >= 1) & (dist <= 32 * 1024) & valid
-        l8 = jnp.where(ok, _lcp8(w32, idx, cand, lanes), 0)
+    def consider_packed(p, best_len, best_cand, best2_len, best2_cand):
+        cand = (p & 0x3FFFF) - 1
+        l8 = p >> 18
         dup = cand == best_cand
         better = (l8 > best_len) & ~dup
         better2 = ~better & ~dup & (l8 > best2_len)
@@ -205,21 +253,45 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
         best_cand = jnp.where(better, cand, best_cand)
         return best_len, best_cand, best2_len, best2_cand
 
-    for k in range(1, K_CANDIDATES + 1):
-        has = jnp.take_along_axis(r4, i4, axis=1) >= k
-        cand = jnp.take_along_axis(o4, jnp.clip(i4 - k, 0, S - 1), axis=1)
-        best_len, best_cand, best2_len, best2_cand = consider(
-            cand, has, best_len, best_cand, best2_len, best2_cand
-        )
-    for k in range(1, 3):
-        has = jnp.take_along_axis(r3, i3, axis=1) >= k
-        cand = jnp.take_along_axis(o3, jnp.clip(i3 - k, 0, S - 1), axis=1)
-        best_len, best_cand, best2_len, best2_cand = consider(
-            cand, has, best_len, best_cand, best2_len, best2_cand
+    for p in (q1, q2, q3):
+        best_len, best_cand, best2_len, best2_cand = consider_packed(
+            p, best_len, best_cand, best2_len, best2_cand
         )
 
     # --- extend the two chosen candidates up to 258 bytes --------------
     limit = jnp.minimum(258, lengths[:, None] - idx)
+
+    # Arithmetic RLE lanes first: exact match lengths at dist 1..4.
+    # Periodic runs dominate RLE-ish data and would otherwise spin the
+    # extension loop ~31 gather iterations; the suffix run-length of
+    # data[i] == data[i-d] is computable in log2(258) static-shift
+    # doubling rounds, entirely elementwise, and where it already reaches
+    # the cap the extension loop is gated off. Ascending d with strict >
+    # keeps the smallest distance on ties (the reference's tie-break,
+    # comp/Lz77Huffman.java:80).
+    def suffix_runlen(eq):
+        r = eq.astype(jnp.int32)
+        span = 1
+        while span < 258:
+            nxt = jnp.concatenate(
+                [r[:, span:], jnp.zeros((L, span), jnp.int32)], axis=1
+            )
+            r = jnp.where(r == span, r + nxt, r)
+            span *= 2
+        return jnp.minimum(r, 258)
+
+    rle_run = jnp.zeros((L, S), jnp.int32)
+    rle_dist = jnp.zeros((L, S), jnp.int32)
+    for d in range(1, 5):
+        prev = jnp.concatenate(
+            [jnp.full((L, d), -1, jnp.int32), data[:, : S - d].astype(jnp.int32)], axis=1
+        )
+        eq = data.astype(jnp.int32) == prev
+        rl = jnp.minimum(suffix_runlen(eq), limit)
+        better = rl > rle_run
+        rle_run = jnp.where(better, rl, rle_run)
+        rle_dist = jnp.where(better, d, rle_dist)
+    rle_capped = rle_run >= limit  # nothing longer exists past this point
 
     def extend(blen, bcand):
         def ext_cond(carry):
@@ -234,7 +306,7 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
             active = active & (step == 8) & (ml < 258)
             return ml, active
 
-        active0 = (blen == 8) & (bcand >= 0)
+        active0 = (blen == 8) & (bcand >= 0) & ~rle_capped
         ml, _ = jax.lax.while_loop(ext_cond, ext_body, (blen, active0))
         return jnp.minimum(ml, limit)
 
@@ -245,6 +317,12 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
     take2 = (run2 > run1) | ((run2 == run1) & (run2 > 0) & (d2 < d1))
     run = jnp.where(take2, run2, run1)
     dist = jnp.where(take2, d2, d1)
+    take_rle = (rle_run >= 3) & (
+        (rle_run > run) | ((rle_run == run) & (rle_dist < dist))
+    )
+    run = jnp.where(take_rle, rle_run, run)
+    dist = jnp.where(take_rle, rle_dist, dist)
+
     # worthwhile-match heuristics (zlib-style): short far matches lose.
     good = (run >= 4) | ((run == 3) & (dist <= 4096))
     run = jnp.where(good, run, 0)

@@ -60,13 +60,15 @@ def halo_exchange(
     if preset_dict is None:
         preset_dict = jnp.zeros(WINDOW_SIZE, jnp.uint8)
 
+    H = min(WINDOW_SIZE, shards.shape[1])  # short shards carry all they have
+
     def body(x, d0):
         d = jax.lax.axis_index(axis)
         n = jax.lax.axis_size(axis)
-        tail = x[:, -WINDOW_SIZE:]
+        tail = x[:, -H:]
         perm = [(i, (i + 1) % n) for i in range(n)]
         halo = jax.lax.ppermute(tail, axis, perm)
-        halo = jnp.where(d == 0, jnp.broadcast_to(d0, halo.shape), halo)
+        halo = jnp.where(d == 0, jnp.broadcast_to(d0[-H:], halo.shape), halo)
         return jnp.concatenate([halo, x], axis=1)
 
     return jax.shard_map(
@@ -114,6 +116,151 @@ def ordered_ragged_gather(
         check_vma=False,  # all_gather output is replicated by construction
     )(payload, lengths)
     return np.asarray(gathered_p), np.asarray(gathered_l)
+
+
+# ---------------------------------------------------------------------------
+# Sharded continuous-history encode (SP/CP seam: halo-fed max-ratio mode)
+# ---------------------------------------------------------------------------
+
+
+def _bit_splice(streams: list[tuple[bytes, int]]) -> tuple[bytes, int]:
+    """Concatenate raw DEFLATE bit-streams at bit granularity.
+
+    Each stream is (bytes, nbits) with the final partial byte
+    zero-padded above nbits. Huffman block bodies are alignment-
+    independent, so shifting shard streams to their running bit offset
+    reproduces the serial encoder's single contiguous stream.
+    """
+    out = bytearray()
+    bitpos = 0
+    for sb, nbits in streams:
+        if nbits == 0:
+            continue
+        r = bitpos & 7
+        arr = np.frombuffer(sb, np.uint8)
+        if r == 0:
+            out += sb
+        else:
+            lo = ((arr.astype(np.uint16) << r) & 0xFF).astype(np.uint8)
+            hi = (arr >> (8 - r)).astype(np.uint8)
+            out[-1] |= int(lo[0])
+            out += (lo[1:] | hi[:-1]).tobytes()
+            out.append(int(hi[-1]))
+        bitpos += nbits
+        del out[(bitpos + 7) // 8 :]  # drop bytes past the valid bits
+    return bytes(out), bitpos
+
+
+def _deflate_shard(
+    buf_with_halo: bytes,
+    halo: int,
+    ln: int,
+    final: bool,
+    *,
+    block_data: int,
+    max_code_len: int,
+    max_chain: int,
+) -> tuple[bytes, int]:
+    """Encode one shard's blocks bit-contiguously, first block's history
+    coming from the halo prefix (the previous shard's last 32 KiB)."""
+    import ctypes
+
+    from .. import native
+
+    lib = native._load()
+    out = bytearray()
+    partial = 0
+    bitpos = 0
+    pos = 0
+    while pos < ln:
+        blk = min(block_data, ln - pos)
+        h = min(32 * 1024, halo + pos)
+        start = halo + pos - h
+        fin = final and (pos + blk >= ln)
+        buf = buf_with_halo[start : halo + pos + blk]
+        cap = blk + blk // 4 + 2048
+        obuf = ctypes.create_string_buffer(cap)
+        bits = lib.td_deflate_block(
+            buf, h, blk, obuf, cap, 1 if fin else 0, bitpos, partial,
+            max_code_len, max_chain,
+        )
+        if bits == 0:
+            raise RuntimeError("native deflate_block failed")
+        whole, rem = divmod(int(bits), 8)
+        raw = obuf.raw
+        out += raw[:whole]
+        partial = raw[whole] if rem else 0
+        bitpos = rem
+        pos += blk
+    total_bits = len(out) * 8 + bitpos
+    if bitpos:
+        out.append(partial)
+    return bytes(out), total_bits
+
+
+def sharded_continuous_compress(
+    data: bytes,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    block_data: int = 64 * 1024,
+    max_code_len: int = 15,
+    max_chain: int = 512,
+    preset_dict: bytes | None = None,
+) -> bytes:
+    """Max-ratio (continuous 32 KiB history) gzip, sharded over a mesh.
+
+    The SP/CP build component (SURVEY.md §2.1): the format's bounded
+    32 KiB receptive field (``decomp/Open.java:201``,
+    ``DeflaterOutputStream.java:38-45``) means adjacent shards share only
+    a 32 KiB halo. The input lane-shards over the mesh, ``halo_exchange``
+    rings each shard's tail to its successor (ICI ppermute; shard 0 takes
+    the broadcast preset dictionary when given), every shard's blocks are
+    then encoded *in parallel* against their halo history, and the
+    bit-streams splice into ONE member on host — Huffman bodies are
+    alignment-independent, so the result matches the serial continuous
+    encoder's stream except where a shard's stored-block fallback padding
+    differs (ratio within noise; round-trip exact).
+    """
+    from .. import native
+    from ..codec.profile import _empty_member, build_member
+
+    if not data:
+        return _empty_member()
+    n = len(data)
+    D = int(mesh.devices.size)
+    blocks = -(-n // block_data)
+    S = max(1, -(-blocks // D)) * block_data
+    padded = np.zeros((D, S), np.uint8)
+    flat = np.frombuffer(data, np.uint8)
+    for d in range(D):
+        seg = flat[d * S : (d + 1) * S]
+        padded[d, : seg.size] = seg
+    pd = broadcast_preset_dict(preset_dict, mesh) if preset_dict else None
+    haloed = np.asarray(halo_exchange(jnp.asarray(padded), mesh, axis, preset_dict=pd))
+
+    H = haloed.shape[1] - S  # halo width actually carried (= min(32K, S))
+    lens = [min(S, max(0, n - d * S)) for d in range(D)]
+    dict_halo = min(H, len(preset_dict)) if preset_dict else 0
+    last = max(i for i in range(D) if lens[i] > 0)
+
+    def enc_final(d: int) -> tuple[bytes, int]:
+        if lens[d] == 0:
+            return b"", 0
+        halo = min(H, d * S) if d > 0 else dict_halo
+        row = haloed[d]
+        buf = row[H - halo : H + lens[d]].tobytes()
+        return _deflate_shard(
+            buf, halo, lens[d], d == last,
+            block_data=block_data, max_code_len=max_code_len, max_chain=max_chain,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(D, 8)) as ex:
+        streams = list(ex.map(enc_final, range(D)))
+    payload, _bits = _bit_splice(streams)
+    return build_member(payload, n, native.crc32(data))
 
 
 # ---------------------------------------------------------------------------

@@ -45,14 +45,25 @@ def compress(
     effort: int | None = None,
     metadata=None,
     config=None,
+    mesh=None,
 ) -> bytes:
     """Compress to (profile) gzip with the selected engine.
 
     ``config`` (an :class:`~tpu_deflate.config.EncoderConfig` or
     :class:`~tpu_deflate.config.FrameworkConfig`) supplies the defaults
-    for every knob; explicit keyword arguments win over it.
+    for every knob; explicit keyword arguments win over it. ``mesh``
+    (or a non-trivial ``FrameworkConfig.mesh``) shards the max-ratio
+    continuous-history mode (effort >= 4) over the mesh: ppermute halo
+    exchange of the 32 KiB windows, shard-parallel block encode, host
+    bit-splice into one member (dist.sharded.sharded_continuous_compress).
     """
+    from .config import FrameworkConfig
+
     cfg = _encoder_cfg(config)
+    if mesh is None and isinstance(config, FrameworkConfig):
+        from .dist.mesh import mesh_from_config
+
+        mesh = mesh_from_config(config.mesh)
     engine = _resolve(engine if engine is not None else cfg.engine)
     effort = effort if effort is not None else cfg.effort
     if engine == "native":
@@ -69,6 +80,13 @@ def compress(
             # composition on the measured corpora); trades away
             # member-parallel decode.
             chain = 512 if effort == 4 else 4096
+            if mesh is not None:
+                from .dist.sharded import sharded_continuous_compress
+
+                out = sharded_continuous_compress(
+                    data, mesh, block_data=cfg.lookahead, max_chain=chain
+                )
+                return _prepend_metadata(out, metadata)
             out = native.compress_continuous_native(
                 data, block_data=cfg.lookahead, max_chain=chain
             )

@@ -133,3 +133,36 @@ def test_header_parse_batch_matches_host():
         assert hp.bfinal.all()
         # decode with the parsed tables through the host LUT machinery
         assert td.inflate(payload.tobytes()) == d
+
+
+def test_on_device_strategy_routing():
+    """EP analog (≙ comp/MultiStrategy.java:31-56): the device argmin must
+    route a compressible lane to dynamic, an incompressible lane to
+    stored, and a short high-entropy-alphabet lane to fixed codes — read
+    back from the emitted streams' block headers — and the whole stream
+    must round-trip."""
+    import numpy as np
+
+    from tpu_deflate.codec import decode_jax as dj
+    from tpu_deflate.codec.encode_jax import compress_members_tpu
+    from tpu_deflate.engine import decompress
+
+    rng = np.random.default_rng(9)
+    words = [rng.integers(97, 123, rng.integers(2, 10), dtype=np.uint8) for _ in range(80)]
+    text = np.concatenate([words[i] for i in rng.integers(0, 80, 30000)])[: 64 * 1024]
+    rand = rng.integers(0, 256, 64 * 1024, dtype=np.uint8)
+    # short, near-uniform printable bytes: dynamic's header outweighs its
+    # per-symbol gain, fixed's preset code wins
+    short = rng.integers(33, 127, 60, dtype=np.uint8)
+
+    data = np.concatenate([text, rand]).tobytes() + short.tobytes()
+    gz = compress_members_tpu(data)
+    assert decompress(gz, engine="host") == data
+
+    buf = np.frombuffer(gz, dtype=np.uint8)
+    members = dj.split_members(buf)
+    assert len(members) == 3
+    btypes = [(int(buf[m.payload_start]) >> 1) & 3 for m in members]
+    assert btypes[0] == 2, "text lane should route dynamic"
+    assert btypes[1] == 0, "random lane should route stored"
+    assert btypes[2] == 1, "short printable lane should route fixed"

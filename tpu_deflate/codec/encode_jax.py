@@ -449,6 +449,94 @@ def emit_device(
 
 
 # ---------------------------------------------------------------------------
+# On-device strategy routing (EP analog, ≙ comp/MultiStrategy.java:31-56)
+# ---------------------------------------------------------------------------
+
+ROUTE_DYNAMIC, ROUTE_FIXED, ROUTE_STORED = 0, 1, 2
+
+
+@jax.jit
+def route_strategies(
+    ll_hist: jnp.ndarray,  # (L, 288) raw token histogram (no EOB, no bumps)
+    d_hist: jnp.ndarray,  # (L, 30)
+    ll_len: jnp.ndarray,  # (L, 288) planned dynamic code lengths
+    d_len: jnp.ndarray,  # (L, 30)
+    hdr_bits: jnp.ndarray,  # (L,) dynamic header bits
+    lengths: jnp.ndarray,  # (L,) member data bytes
+):
+    """Per-lane argmin over the three block strategies, on device.
+
+    Exact bit costs from the histograms the analyze kernel already
+    produced: dynamic = header + sum(hist * len) + extra bits + EOB;
+    fixed = 3 + sum(hist * fixed_len) + extras + 7; stored =
+    8 * (len + 5 * ceil(len / 65535) + 1). Returns (choice (L,) int32,
+    dyn_bits, fixed_bits, stored_bits) — the reference's MultiStrategy
+    cheapest-plan pick (``comp/MultiStrategy.java:31-56``) computed as a
+    batched reduction instead of N sequential trial encodes.
+    """
+    sym = jnp.arange(288, dtype=jnp.int32)[None, :]
+    len_extra = jnp.where((sym >= 265) & (sym <= 284), (sym - 261) >> 2, 0)
+    dsym = jnp.arange(30, dtype=jnp.int32)[None, :]
+    dist_extra = jnp.maximum((dsym >> 1) - 1, 0)
+    extras = jnp.sum(ll_hist * len_extra, axis=1) + jnp.sum(d_hist * dist_extra, axis=1)
+    fix_ll = jnp.where(
+        sym < 144, 8, jnp.where(sym < 256, 9, jnp.where(sym < 280, 7, 8))
+    )
+    dyn = (
+        hdr_bits
+        + jnp.sum(ll_hist * ll_len, axis=1)
+        + jnp.sum(d_hist * d_len, axis=1)
+        + extras
+        + ll_len[:, 256]
+    )
+    fixed = 3 + jnp.sum(ll_hist * fix_ll, axis=1) + jnp.sum(d_hist * 5, axis=1) + extras + 7
+    stored = 8 * (lengths + 5 * (-(-lengths // 65535)) + 1)
+    choice = jnp.where(
+        stored < jnp.minimum(dyn, fixed),
+        ROUTE_STORED,
+        jnp.where(fixed < dyn, ROUTE_FIXED, ROUTE_DYNAMIC),
+    ).astype(jnp.int32)
+    return choice, dyn, fixed, stored
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _apply_route(
+    choice: jnp.ndarray,
+    ll_codes: jnp.ndarray,
+    d_codes: jnp.ndarray,
+    header_vals: jnp.ndarray,
+    header_bits: jnp.ndarray,
+    eob_val: jnp.ndarray,
+    eob_bits: jnp.ndarray,
+    fix_ll_codes: jnp.ndarray,  # (1, 288)
+    fix_d_codes: jnp.ndarray,  # (1, 30)
+):
+    """Swap fixed-Huffman codes/header/EOB into lanes routed FIXED, on
+    device — fixed-code blocks then emit from the device like any other."""
+    f = (choice == ROUTE_FIXED)[:, None]
+    ll = jnp.where(f, fix_ll_codes, ll_codes)
+    dd = jnp.where(f, fix_d_codes, d_codes)
+    hv = jnp.where(f, 0, header_vals).at[:, 0].set(
+        jnp.where(f[:, 0], 3, header_vals[:, 0])  # bfinal=1, btype=01 LSB-first
+    )
+    hb = jnp.where(f, 0, header_bits).at[:, 0].set(
+        jnp.where(f[:, 0], 3, header_bits[:, 0])
+    )
+    ev = jnp.where(f[:, 0], 0, eob_val)
+    eb = jnp.where(f[:, 0], 7, eob_bits)
+    return ll, dd, hv, hb, ev, eb
+
+
+@functools.lru_cache(maxsize=1)
+def _fixed_code_tables():
+    from ..format.tables import FIXED_DIST_LENGTHS, FIXED_LITLEN_LENGTHS
+
+    fl = _pack_codes(FIXED_LITLEN_LENGTHS[None, :].astype(np.int64), MAX_CODE_BITS)
+    fd = _pack_codes(FIXED_DIST_LENGTHS[None, :30].astype(np.int64), MAX_CODE_BITS)
+    return jnp.asarray(fl), jnp.asarray(fd)
+
+
+# ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
 
@@ -628,6 +716,30 @@ def _plan_and_emit(pend):
     eob_val = (ll_codes[:, 256] & 0xFFFF).astype(np.uint32)
     eob_bits = (ll_codes[:, 256] >> 16).astype(np.int32)
 
+    # On-device strategy routing (EP analog): exact stored/fixed/dynamic
+    # bit costs from the device-resident histograms, argmin per lane,
+    # fixed-code lanes swap in the static tables before the single emit.
+    choice, _dyn, _fx, _st = route_strategies(
+        a["litlen_hist"].astype(jnp.int64),
+        a["dist_hist"].astype(jnp.int64),
+        jnp.asarray(ll_lengths.astype(np.int64)),
+        jnp.asarray(d_lengths.astype(np.int64)),
+        jnp.asarray(header_bits.sum(axis=1).astype(np.int64)),
+        jnp.asarray(lengths.astype(np.int64)),
+    )
+    fl, fd = _fixed_code_tables()
+    ll_c, d_c, hv, hb, ev, eb = _apply_route(
+        choice,
+        jnp.asarray(ll_codes),
+        jnp.asarray(d_codes),
+        jnp.asarray(header_vals),
+        jnp.asarray(header_bits),
+        jnp.asarray(eob_val),
+        jnp.asarray(eob_bits),
+        fl,
+        fd,
+    )
+
     # Token info stays on device between analyze and emit.
     flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
     words, total_bits = emit_device(
@@ -638,26 +750,28 @@ def _plan_and_emit(pend):
         a["dist_sym"],
         a["dist_eb"],
         a["dist_ev"],
-        jnp.asarray(ll_codes),
-        jnp.asarray(d_codes),
-        jnp.asarray(header_vals),
-        jnp.asarray(header_bits),
-        jnp.asarray(eob_val),
-        jnp.asarray(eob_bits),
+        ll_c,
+        d_c,
+        hv,
+        hb,
+        ev,
+        eb,
     )
     try:
         words.copy_to_host_async()
         total_bits.copy_to_host_async()
+        choice.copy_to_host_async()
     except Exception:
         pass
-    return words, total_bits, padded, lengths, L_real
+    return words, total_bits, choice, padded, lengths, L_real
 
 
 def _assemble_members(em) -> bytes:
     """Stage 3: pull emitted words, frame members on host."""
-    words, total_bits, padded, lengths, L_real = em
+    words, total_bits, choice, padded, lengths, L_real = em
     words = np.asarray(words)
     total_bits = np.asarray(total_bits)
+    choice = np.asarray(choice)
     L = words.shape[0]
 
     # Member CRCs: one batched device call when the chip is directly
@@ -683,7 +797,10 @@ def _assemble_members(em) -> bytes:
         crc = int(crcs[l]) if crcs is not None else crc32(member_data)
         nbytes = (int(total_bits[l]) + 7) // 8
         stored_cost = ln + 5 * (-(-ln // 65535)) + 1
-        if nbytes >= stored_cost:
+        # Device-routed choice (route_strategies); the emitted-size check
+        # stays as a backstop so a cost-model defect can never grow the
+        # output past the stored bound.
+        if choice[l] == ROUTE_STORED or nbytes >= stored_cost:
             w = BitWriter()
             from .deflate_encode import StoredPlan
 

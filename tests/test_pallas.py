@@ -195,11 +195,35 @@ def test_stage_a_pallas_matches_xla():
 
 
 def test_compact_flat_matches_xla():
-    """VMEM whole-lane compaction vs the XLA displacement-move twin."""
+    """VMEM whole-lane compaction + fused rank->byte map vs the XLA
+    displacement-move twin + one-hot MXU map."""
     rng = np.random.default_rng(3)
     for L, M, density in [(4, 512, 0.3), (3, 2048, 0.05), (2, 128, 1.0), (2, 256, 0.0)]:
         tok = rng.integers(0, 1 << 20, (L, M)).astype(np.int32)
         tok[rng.random((L, M)) >= density] = -1
-        got = np.asarray(dp.compact_flat_pallas(jnp.asarray(tok), interpret=True))
-        want = np.asarray(v2.compact_level2(jnp.asarray(tok)))
+        # sprinkle literal-rank tokens (< 256) among the match-coded ones
+        lit_mask = (rng.random((L, M)) < 0.4) & (tok >= 0)
+        tok[lit_mask] = rng.integers(0, 256, int(lit_mask.sum()))
+        lit_map = rng.integers(0, 256, (L, 256), dtype=np.uint8)
+        # reuse the plane/table builders via a fake class-table pass
+        j32 = np.arange(32)[None, None, :]
+        lm = lit_map.reshape(L, 8, 32).astype(np.int64)
+        planes = np.zeros((L, 8, 8), np.int64)
+        for b in range(8):
+            planes[:, b, :] = (((lm >> b) & 1) << j32).sum(axis=2)
+        lit_planes = planes.reshape(L, 64).astype(np.int32)
+        grid = lit_map.reshape(L, 4, 64).transpose(0, 2, 1)
+        lit_map8 = np.concatenate(
+            [(grid & 127).astype(np.int8), (grid >> 7).astype(np.int8)], axis=2
+        )
+        got = np.asarray(
+            dp.compact_flat_pallas(
+                jnp.asarray(tok), jnp.asarray(lit_planes), interpret=True
+            )
+        )
+        want = np.asarray(
+            v2.apply_lit_map(
+                v2.compact_level2(jnp.asarray(tok)), jnp.asarray(lit_map8)
+            )
+        )
         np.testing.assert_array_equal(got, want)

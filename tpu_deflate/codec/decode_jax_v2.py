@@ -313,6 +313,14 @@ def class_ladder_tables(lengths: np.ndarray, tables: dict) -> dict:
     lit_map8 = np.concatenate(
         [(grid & 127).astype(np.int8), (grid >> 7).astype(np.int8)], axis=2
     )
+    # Bit-plane form for the pallas compaction kernel's fused rank->byte
+    # map: cols b*8+w hold bit b of ranks [32w, 32w+32).
+    j32 = np.arange(32)[None, None, :]
+    lm = lit_map.reshape(L, 8, 32).astype(np.int64)
+    planes = np.zeros((L, 8, 8), np.int64)
+    for b in range(8):
+        planes[:, b, :] = (((lm >> b) & 1) << j32).sum(axis=2)
+    lit_planes = planes.reshape(L, 64).astype(np.int32)
     return {
         "pack2": pack2,
         "init2": init2,
@@ -321,6 +329,7 @@ def class_ladder_tables(lengths: np.ndarray, tables: dict) -> dict:
         "eob_cidx": eob_cidx,
         "mwords": mwords.astype(np.int32),
         "lit_map8": lit_map8,
+        "lit_planes": lit_planes,
     }
 
 
@@ -1147,6 +1156,7 @@ def _wave_arrays(rows: np.ndarray, row_bits: np.ndarray, hp) -> tuple[dict, np.n
         "ll_nlive": lad["nlive"],
         "ll_mwords": cls["mwords"],
         "lit_map8": cls["lit_map8"],
+        "lit_planes": cls["lit_planes"],
         "d_sat": dlad["sat"],
         "d_pack": dlad["pack"],
         "d_nlive": dlad["nlive"],
@@ -1212,6 +1222,7 @@ def _k1_groups(payloads_or_rows, bitpos_list) -> list[int]:
 WAVE_KEYS = (
     "grid", "payload_bits", "ll_sat", "ll_pack", "ll_pack2", "ll_init2",
     "ll_pack3", "ll_init3", "ll_eob", "ll_nlive", "ll_mwords", "lit_map8",
+    "lit_planes",
     "d_sat", "d_pack", "d_nlive", "d_perm", "dist_empty", "rem",
 )
 
@@ -1329,8 +1340,9 @@ def _run_wave_pallas_impl(w: dict):
     out_total = jnp.sum(summ[:, dp.ROW_SIZE_SUM, :], axis=1)
     overflow = jnp.sum(summ[:, dp.ROW_OVERFLOW, :]) > 0
 
-    tokens = dp.compact_flat_pallas(tokc.reshape(L, NT * k1))
-    tokens = apply_lit_map_chunked(tokens, jnp.asarray(w["lit_map8"]))
+    tokens = dp.compact_flat_pallas(
+        tokc.reshape(L, NT * k1), jnp.asarray(w["lit_planes"])
+    )
     return tokens, counts, has_eob, eob_exit, err_code, out_total, overflow
 
 

@@ -492,16 +492,21 @@ def _stage_dc_kernel(d_ref, t_ref, e_ref, tok_ref, sum_ref, reach_ref):
 # ---------------------------------------------------------------------------
 
 
-def _compact_flat_kernel(t_ref, out_ref):
-    """Compact one lane's tile-compacted tokens to the front.
+def _compact_flat_kernel(lit_ref, t_ref, out_ref):
+    """Compact one lane's tile-compacted tokens to the front, then map
+    literal ranks to bytes in the same VMEM residency.
 
     t_ref/out_ref (1, R, 128) int32, rows flattening a length M = R*128
-    token array in row-major order (-1 padding). The XLA twin
-    (``decode_jax_v2.compact_level2``) round-trips HBM on every one of
-    its ~17 move rounds (measured 17 ms on a 256-lane wave — the single
-    largest stage); here rank cumsum + all move rounds stay VMEM-resident.
-    Flattened-order shifts by s decompose into a lane-axis rotate plus a
-    one-row sublane carry (s < 128) or a pure sublane rotate (s % 128 == 0).
+    token array in row-major order (-1 padding); lit_ref (1, 8, 128)
+    int32 VMEM block of this lane's literal bit planes (row b, col w < 8:
+    bit j = bit b of the byte at literal rank 32*w + j). The XLA twin
+    (``decode_jax_v2.compact_level2`` + ``apply_lit_map``) round-trips
+    HBM on every one of its ~17 move rounds (measured 17 ms on a
+    256-lane wave — the single largest stage) and again for the one-hot
+    map; here rank cumsum, all move rounds and the rank->byte map stay
+    VMEM-resident. Flattened-order shifts by s decompose into a
+    lane-axis rotate plus a one-row sublane carry (s < 128) or a pure
+    sublane rotate (s % 128 == 0).
     """
     x = t_ref[0]  # (R, 128)
     R = x.shape[0]
@@ -548,30 +553,53 @@ def _compact_flat_kernel(t_ref, out_ref):
         disp = jnp.where(take, d_r - s, jnp.where(self_mv, INV, disp))
         tok = jnp.where(take, t_r, tok)
         s *= 2
-    out_ref[0] = jnp.where(disp == 0, tok, -1)
+    tok = jnp.where(disp == 0, tok, -1)
+    # Literal rank -> byte (8 bit planes over 8 32-rank words each).
+    is_l = (tok >= 0) & (tok < 256)
+    r8 = jnp.where(is_l, tok, 0)
+    wsel = r8 >> 5
+    lo5 = (r8 & 31).astype(jnp.uint32)
+    byte = jnp.zeros_like(tok)
+    for b in range(8):
+        word = jnp.zeros_like(tok)
+        for w in range(8):
+            word = jnp.where(wsel == w, lit_ref[0, b, w], word)
+        byte = byte | (((word.astype(jnp.uint32) >> lo5) & 1) << b).astype(jnp.int32)
+    out_ref[0] = jnp.where(is_l, byte, tok)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _compact_flat_jit(tok: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
-    """tok (L, M) int32, M % 128 == 0 -> front-compacted (L, M)."""
+def _compact_flat_jit(
+    tok: jnp.ndarray, lit_planes: jnp.ndarray, *, interpret: bool = False
+) -> jnp.ndarray:
+    """tok (L, M) int32, M % 128 == 0 -> front-compacted, literal ranks
+    mapped to bytes. lit_planes (L, 64) int32 from lit_plane_words."""
     L, M = tok.shape
     assert M % 128 == 0
     R = M // 128
+    # Planes ride as a per-lane VMEM block (padded to the 128-lane tile).
+    lp = jnp.zeros((L, 8, 128), jnp.int32)
+    lp = lp.at[:, :, :8].set(lit_planes.reshape(L, 8, 8))
     out = pl.pallas_call(
         _compact_flat_kernel,
         grid=(L,),
-        in_specs=[pl.BlockSpec((1, R, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, R, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, R, 128), jnp.int32),
         interpret=interpret,
-    )(tok.reshape(L, R, 128))
+    )(lp, tok.reshape(L, R, 128))
     return out.reshape(L, M)
 
 
-def compact_flat_pallas(tok: jnp.ndarray, *, interpret: bool | None = None) -> jnp.ndarray:
+def compact_flat_pallas(
+    tok: jnp.ndarray, lit_planes: jnp.ndarray, *, interpret: bool | None = None
+) -> jnp.ndarray:
     if interpret is None:
         interpret = _interpret_default()
-    return _compact_flat_jit(tok, interpret=interpret)
+    return _compact_flat_jit(tok, lit_planes, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

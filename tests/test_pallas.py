@@ -227,3 +227,59 @@ def test_compact_flat_matches_xla():
             )
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_parse_pallas_matches_serial():
+    """Tile-transfer parse (VMEM kernels interpret mode + host chain
+    walk) vs a direct serial walk on random step fields."""
+    from tpu_deflate.codec import parse_pallas as pp
+
+    rng = np.random.default_rng(11)
+    L, S = 2, 512 * 128
+    step = rng.integers(1, pp.PARSE_MAX_STEP + 1, (L, S)).astype(np.int32)
+    step[rng.random((L, S)) < 0.7] = 1  # literal-heavy
+    tiles = pp.step_tiles(jnp.asarray(step))
+    transfers = np.asarray(pp.parse_transfers(tiles, interpret=True))
+    entries = pp.host_entries(transfers)
+    got = np.asarray(pp.parse_replay(tiles, jnp.asarray(entries), interpret=True))
+
+    want = np.zeros((L, S), bool)
+    for l in range(L):
+        p = 0
+        while p < S:
+            want[l, p] = True
+            p += int(step[l, p])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_analyze_two_phase_matches_single():
+    """analyze_phase1 + host entries + analyze_phase2 (the device encode
+    pipeline) must reproduce analyze_device's XLA parse exactly."""
+    from tpu_deflate.codec import encode_jax as ej
+    from tpu_deflate.codec import parse_pallas as pp
+
+    rng = np.random.default_rng(5)
+    words = [rng.integers(97, 123, rng.integers(2, 10), dtype=np.uint8) for _ in range(60)]
+    data = np.concatenate([words[i] for i in rng.integers(0, 60, 30000)])[: 2 * 65536]
+    padded = np.frombuffer(data.tobytes(), np.uint8).reshape(2, 65536)
+    lengths = np.array([65536, 50000], np.int32)
+
+    want = ej.analyze_device(jnp.asarray(padded), jnp.asarray(lengths), True)
+    # interpret-mode kernels stand in for the real chip
+    orig_td = pp.parse_transfers
+    orig_rp = pp.parse_replay
+    pp_int = lambda f: (lambda *a, **k: f(*a, interpret=True, **k))
+    pp.parse_transfers = pp_int(orig_td)
+    pp.parse_replay = pp_int(orig_rp)
+    try:
+        p1 = ej.analyze_phase1.__wrapped__(jnp.asarray(padded), jnp.asarray(lengths), True)
+        entries = pp.host_entries(np.asarray(p1["transfers"]))
+        got = ej.analyze_phase2.__wrapped__(
+            jnp.asarray(padded), p1["use"], p1["dist"], p1["tiles"], p1["valid"],
+            jnp.asarray(entries),
+        )
+    finally:
+        pp.parse_transfers = orig_td
+        pp.parse_replay = orig_rp
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)

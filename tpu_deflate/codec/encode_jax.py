@@ -57,6 +57,7 @@ def _device_crc_wanted() -> bool:
 
 HASH_BITS = 16
 K_CANDIDATES = 16  # sorted-space candidates are static shifts: K is cheap now
+MATCH_WORDS = 9  # pre-gathered window words: exact prefix compare to 36 bytes
 MAX_CODE_BITS = 15  # full RFC 1951 range (package-merge cap)
 ENC_LANE_BATCH = 64  # members per device dispatch
 _ENC_L_BUCKETS = (4, 16, ENC_LANE_BATCH)
@@ -116,53 +117,25 @@ def _u32_windows(data: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _lcp8(w32: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray, lanes: jnp.ndarray) -> jnp.ndarray:
-    """Common-prefix length (0..8) of the 8 bytes at positions a vs b."""
-    S = w32.shape[1]
-    a0 = jnp.take_along_axis(w32, jnp.clip(a, 0, S - 1), axis=1)
-    b0 = jnp.take_along_axis(w32, jnp.clip(b, 0, S - 1), axis=1)
-    a1 = jnp.take_along_axis(w32, jnp.clip(a + 4, 0, S - 1), axis=1)
-    b1 = jnp.take_along_axis(w32, jnp.clip(b + 4, 0, S - 1), axis=1)
-    x0 = a0 ^ b0
-    x1 = a1 ^ b1
-    l0 = (
-        ((x0 & 0xFF) == 0).astype(jnp.int32)
-        + ((x0 & 0xFFFF) == 0).astype(jnp.int32)
-        + ((x0 & 0xFFFFFF) == 0).astype(jnp.int32)
-        + (x0 == 0).astype(jnp.int32)
-    )
-    l1 = (
-        ((x1 & 0xFF) == 0).astype(jnp.int32)
-        + ((x1 & 0xFFFF) == 0).astype(jnp.int32)
-        + ((x1 & 0xFFFFFF) == 0).astype(jnp.int32)
-        + (x1 == 0).astype(jnp.int32)
-    )
-    return l0 + jnp.where(l0 == 4, l1, 0)
-
-
-@functools.partial(jax.jit, static_argnames=("lazy",))
-def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
-    """Match-find + parse + histogram for a batch of members.
-
-    data: (L, S) uint8 (zero-padded rows), lengths: (L,) int32.
-    Returns dict of per-position token info and per-lane histograms.
-    """
+def _match_find(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool):
+    """Shared match-find front half: data -> (use, dist, step, valid)."""
     L, S = data.shape
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
     valid = pos < lengths[:, None]
     w32 = _u32_windows(data)
-    w32b = jnp.concatenate([w32[:, 4:], jnp.zeros((L, 4), jnp.uint32)], axis=1)
     lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
     idx = jnp.broadcast_to(pos, (L, S))
 
     # --- hash-bucket candidates, evaluated in SORTED space -------------
     # One stable argsort groups equal hashes with in-bucket positions
     # ascending; the k-th previous same-hash occurrence is then a STATIC
-    # shift of the sorted arrays. Pre-gathering the two window words into
-    # sorted order (2 gathers) makes the whole K-candidate evaluation
-    # gather-free — the old design paid ~6 dynamic gathers per candidate,
-    # the one op class this backend runs at walking pace. Results return
-    # to position space with 2 packed scatters per hash family.
+    # shift of the sorted arrays. Pre-gathering a fixed set of window
+    # words into sorted order makes the whole K-candidate evaluation —
+    # including the match-length compare up to 4*MATCH_WORDS bytes —
+    # gather-free; dynamic gathers are the one op class this backend
+    # runs at walking pace (~67 ms per (64, 64K) pass, measured).
+    # Results return to position space with one packed scatter per
+    # hash family.
     # ≙ the reference's exhaustive distance scan (comp/Lz77Huffman.java:
     # 71-84) restricted to the K nearest same-hash candidates.
     def shr(a, k, fill=0):
@@ -170,9 +143,19 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
             [jnp.full((L, k), fill, a.dtype), a[:, : S - k]], axis=1
         )
 
-    def bucket_best(h, K):
-        """Best-two (prefix8-len, candidate-pos) per position, via sorted
-        space; returns them scattered back to position order."""
+    def bucket_best(h, K, nwords):
+        """Best (match-len, candidate-pos) per position, via sorted
+        space; returns it scattered back to position order.
+
+        ``nwords`` pre-gathered window words (offsets 0, 4, .., 4*(n-1))
+        bound the exact prefix compare at 4*nwords bytes — the dynamic
+        per-candidate extension gathers of the old design (one gather =
+        ~67 ms on this backend, ~30 rounds of 4) are gone entirely;
+        matches longer than the cap fragment into chained tokens whose
+        follow-up candidates the same bucket supplies, and exact long
+        runs at dist <= 4 come from the arithmetic RLE lanes.
+        """
+        cap = 4 * nwords
         order = jnp.argsort(h, axis=1, stable=True).astype(jnp.int32)
         sorted_h = jnp.take_along_axis(h, order, axis=1)
         si = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (L, S))
@@ -183,46 +166,55 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
             jnp.maximum, jnp.where(changed, si, -1), axis=1
         )
         rank = si - group_first
-        sa = jnp.take_along_axis(w32, order, axis=1)
-        sb = jnp.take_along_axis(w32b, order, axis=1)
+        sw = [
+            jnp.take_along_axis(
+                jnp.concatenate(
+                    [w32[:, 4 * j :], jnp.zeros((L, 4 * j), jnp.uint32)], axis=1
+                )
+                if j
+                else w32,
+                order,
+                axis=1,
+            )
+            for j in range(nwords)
+        ]
         live = sorted_h != -1
 
-        def lcp8v(x0, x1):
-            l0 = (
-                ((x0 & 0xFF) == 0).astype(jnp.int32)
-                + ((x0 & 0xFFFF) == 0).astype(jnp.int32)
-                + ((x0 & 0xFFFFFF) == 0).astype(jnp.int32)
-                + (x0 == 0).astype(jnp.int32)
+        def word_eqlen(x):
+            """0..4 equal leading bytes of a xored LE word."""
+            return (
+                ((x & 0xFF) == 0).astype(jnp.int32)
+                + ((x & 0xFFFF) == 0).astype(jnp.int32)
+                + ((x & 0xFFFFFF) == 0).astype(jnp.int32)
+                + (x == 0).astype(jnp.int32)
             )
-            l1 = (
-                ((x1 & 0xFF) == 0).astype(jnp.int32)
-                + ((x1 & 0xFFFF) == 0).astype(jnp.int32)
-                + ((x1 & 0xFFFFFF) == 0).astype(jnp.int32)
-                + (x1 == 0).astype(jnp.int32)
-            )
-            return l0 + jnp.where(l0 == 4, l1, 0)
+
+        def lcpv(k):
+            total = word_eqlen(sw[0] ^ shr(sw[0], k))
+            full = total == 4
+            for j in range(1, nwords):
+                lj = word_eqlen(sw[j] ^ shr(sw[j], k))
+                total = total + jnp.where(full, lj, 0)
+                full = full & (lj == 4)
+            return total
 
         blen = jnp.zeros((L, S), jnp.int32)
         bcand = jnp.full((L, S), -1, jnp.int32)
-        b2len = jnp.zeros((L, S), jnp.int32)
-        b2cand = jnp.full((L, S), -1, jnp.int32)
         for k in range(1, K + 1):
             cand = shr(order, k, -1)
             dist = order - cand
             ok = live & (rank >= k) & (dist >= 1) & (dist <= 32 * 1024)
-            l8 = jnp.where(ok, lcp8v(sa ^ shr(sa, k), sb ^ shr(sb, k)), 0)
-            better = l8 > blen
-            better2 = ~better & (l8 > b2len)
-            b2len = jnp.where(better, blen, jnp.where(better2, l8, b2len))
-            b2cand = jnp.where(better, bcand, jnp.where(better2, cand, b2cand))
-            blen = jnp.where(better, l8, blen)
+            lc = jnp.where(ok, lcpv(k), 0)
+            # ties keep the earlier (nearer, since in-bucket order is by
+            # position) candidate — the reference's smallest-distance
+            # tie-break (comp/Lz77Huffman.java:80)
+            better = lc > blen
+            blen = jnp.where(better, lc, blen)
             bcand = jnp.where(better, cand, bcand)
-        # Pack (len 4b | cand+1 17b) and return to position order.
-        p1 = ((bcand + 1) | (blen << 18)).astype(jnp.int32)
-        p2 = ((b2cand + 1) | (b2len << 18)).astype(jnp.int32)
+        # Pack (len 6b | cand+1 17b) and return to position order.
+        p1 = ((bcand + 1) | (jnp.minimum(blen, cap) << 18)).astype(jnp.int32)
         o1 = jnp.zeros((L, S), jnp.int32).at[lanes, order].set(p1)
-        o2 = jnp.zeros((L, S), jnp.int32).at[lanes, order].set(p2)
-        return o1, o2
+        return o1
 
     h4 = ((w32 * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
     h4 = jnp.where(valid, h4, -1)
@@ -233,42 +225,27 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
         jnp.int32
     )
     h3 = jnp.where(valid, h3, -1)
-    q1, q2 = bucket_best(h4, K_CANDIDATES)
-    q3, _ = bucket_best(h3, 2)
+    q1 = bucket_best(h4, K_CANDIDATES, MATCH_WORDS)
+    q3 = bucket_best(h3, 2, 2)
 
-    best_len = jnp.zeros((L, S), jnp.int32)
-    best_cand = jnp.full((L, S), -1, jnp.int32)
-    best2_len = jnp.zeros((L, S), jnp.int32)
-    best2_cand = jnp.full((L, S), -1, jnp.int32)
-
-    def consider_packed(p, best_len, best_cand, best2_len, best2_cand):
-        cand = (p & 0x3FFFF) - 1
-        l8 = p >> 18
-        dup = cand == best_cand
-        better = (l8 > best_len) & ~dup
-        better2 = ~better & ~dup & (l8 > best2_len)
-        best2_len = jnp.where(better, best_len, jnp.where(better2, l8, best2_len))
-        best2_cand = jnp.where(better, best_cand, jnp.where(better2, cand, best2_cand))
-        best_len = jnp.where(better, l8, best_len)
-        best_cand = jnp.where(better, cand, best_cand)
-        return best_len, best_cand, best2_len, best2_cand
-
-    for p in (q1, q2, q3):
-        best_len, best_cand, best2_len, best2_cand = consider_packed(
-            p, best_len, best_cand, best2_len, best2_cand
-        )
-
-    # --- extend the two chosen candidates up to 258 bytes --------------
     limit = jnp.minimum(258, lengths[:, None] - idx)
 
-    # Arithmetic RLE lanes first: exact match lengths at dist 1..4.
-    # Periodic runs dominate RLE-ish data and would otherwise spin the
-    # extension loop ~31 gather iterations; the suffix run-length of
-    # data[i] == data[i-d] is computable in log2(258) static-shift
-    # doubling rounds, entirely elementwise, and where it already reaches
-    # the cap the extension loop is gated off. Ascending d with strict >
-    # keeps the smallest distance on ties (the reference's tie-break,
-    # comp/Lz77Huffman.java:80).
+    c1 = (q1 & 0x3FFFF) - 1
+    l1 = q1 >> 18
+    c3 = (q3 & 0x3FFFF) - 1
+    l3 = q3 >> 18
+    d1 = jnp.where(c1 >= 0, idx - c1, 0)
+    d3 = jnp.where(c3 >= 0, idx - c3, 0)
+    take3 = (l3 > l1) | ((l3 == l1) & (l3 > 0) & (d3 < d1))
+    run = jnp.minimum(jnp.where(take3, l3, l1), limit)
+    dist = jnp.where(take3, d3, d1)
+
+    # Arithmetic RLE lanes: exact match lengths at dist 1..4 via the
+    # suffix run-length of data[i] == data[i-d] (log2(258) static-shift
+    # doubling rounds, elementwise) — these recover the long periodic
+    # matches the capped prefix compare fragments, at full 258 length.
+    # Ascending d with strict > keeps the smallest distance on ties
+    # (the reference's tie-break, comp/Lz77Huffman.java:80).
     def suffix_runlen(eq):
         r = eq.astype(jnp.int32)
         span = 1
@@ -291,61 +268,37 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
         better = rl > rle_run
         rle_run = jnp.where(better, rl, rle_run)
         rle_dist = jnp.where(better, d, rle_dist)
-    rle_capped = rle_run >= limit  # nothing longer exists past this point
-
-    def extend(blen, bcand):
-        def ext_cond(carry):
-            ml, active = carry
-            return jnp.any(active)
-
-        def ext_body(carry):
-            ml, active = carry
-            step = _lcp8(w32, idx + ml, bcand + ml, lanes)
-            step = jnp.where(active, step, 0)
-            ml = ml + step
-            active = active & (step == 8) & (ml < 258)
-            return ml, active
-
-        active0 = (blen == 8) & (bcand >= 0) & ~rle_capped
-        ml, _ = jax.lax.while_loop(ext_cond, ext_body, (blen, active0))
-        return jnp.minimum(ml, limit)
-
-    run1 = extend(best_len, best_cand)
-    run2 = extend(best2_len, best2_cand)
-    d1 = jnp.where(best_cand >= 0, idx - best_cand, 0)
-    d2 = jnp.where(best2_cand >= 0, idx - best2_cand, 0)
-    take2 = (run2 > run1) | ((run2 == run1) & (run2 > 0) & (d2 < d1))
-    run = jnp.where(take2, run2, run1)
-    dist = jnp.where(take2, d2, d1)
     take_rle = (rle_run >= 3) & (
         (rle_run > run) | ((rle_run == run) & (rle_dist < dist))
     )
     run = jnp.where(take_rle, rle_run, run)
     dist = jnp.where(take_rle, rle_dist, dist)
+    # Cap runs so every parse step fits a byte-sized tile exit (the
+    # pallas parse's transfer maps); costs long runs <= 8/258 of one
+    # token's efficiency.
+    from .parse_pallas import PARSE_MAX_STEP
+
+    run = jnp.minimum(run, PARSE_MAX_STEP)
 
     # worthwhile-match heuristics (zlib-style): short far matches lose.
     good = (run >= 4) | ((run == 3) & (dist <= 4096))
     run = jnp.where(good, run, 0)
     dist = jnp.where(good, dist, 0)
 
-    # --- greedy/lazy parse by pointer doubling -------------------------
+    # --- lazy deferral --------------------------------------------------
     use = run
     if lazy:
         nxt_run = jnp.concatenate([use[:, 1:], jnp.zeros((L, 1), jnp.int32)], axis=1)
         defer = (use > 0) & (nxt_run > use)
         use = jnp.where(defer, 0, use)
     step = jnp.where(use > 0, use, 1)
-    nxt = jnp.minimum(idx + step, S)
-    reached = jnp.zeros((L, S + 1), bool).at[:, 0].set(True)
-    jump = jnp.concatenate([nxt, jnp.full((L, 1), S, jnp.int32)], axis=1)
-    rounds = int(np.ceil(np.log2(S))) + 1
-    for _ in range(rounds):
-        hit = jnp.zeros((L, S + 1), bool).at[lanes, jnp.where(reached, jump, S)].set(
-            True, mode="drop"
-        )
-        reached = reached | hit
-        jump = jnp.take_along_axis(jump, jnp.clip(jump, 0, S), axis=1)
-    is_token = reached[:, :S] & valid
+    return use, dist, step, valid
+
+
+def _finish_analysis(data, use, dist, is_token):
+    """Shared back half: token selection -> symbols + histograms."""
+    L, S = data.shape
+    lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
     is_match = is_token & (use > 0)
 
     run_idx = jnp.clip(jnp.where(is_match, use, 3), 3, 258)
@@ -380,6 +333,60 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
         "litlen_hist": litlen_hist,
         "dist_hist": dist_hist,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("lazy",))
+def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
+    """Match-find + parse + histogram for a batch of members (one jit).
+
+    data: (L, S) uint8 (zero-padded rows), lengths: (L,) int32.
+    Returns dict of per-position token info and per-lane histograms.
+    The greedy parse here is the XLA pointer-doubling twin; the encode
+    pipeline uses the two-phase pallas parse (analyze_phase1/2) on real
+    devices, where the 17 gather+scatter doubling rounds cost ~1.3 s per
+    4 MiB batch.
+    """
+    L, S = data.shape
+    use, dist, step, valid = _match_find(data, lengths, lazy)
+    idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (L, S))
+    lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
+    nxt = jnp.minimum(idx + step, S)
+    reached = jnp.zeros((L, S + 1), bool).at[:, 0].set(True)
+    jump = jnp.concatenate([nxt, jnp.full((L, 1), S, jnp.int32)], axis=1)
+    rounds = int(np.ceil(np.log2(S))) + 1
+    for _ in range(rounds):
+        hit = jnp.zeros((L, S + 1), bool).at[
+            lanes, jnp.where(reached, jump, S)
+        ].set(True, mode="drop")
+        reached = reached | hit
+        jump = jnp.take_along_axis(jump, jnp.clip(jump, 0, S), axis=1)
+    is_token = reached[:, :S] & valid
+    return _finish_analysis(data, use, dist, is_token)
+
+
+@functools.partial(jax.jit, static_argnames=("lazy",))
+def analyze_phase1(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
+    """Device phase 1: match find + pallas per-tile parse transfer maps.
+
+    The cross-tile chain walk (NT scalar steps per lane) happens on the
+    host between the phases; ``analyze_phase2`` replays and finishes.
+    """
+    from . import parse_pallas as pp
+
+    use, dist, step, valid = _match_find(data, lengths, lazy)
+    tiles = pp.step_tiles(step)
+    transfers = pp.parse_transfers(tiles)
+    return {"use": use, "dist": dist, "tiles": tiles, "valid": valid,
+            "transfers": transfers}
+
+
+@jax.jit
+def analyze_phase2(data, use, dist, tiles, valid, entries):
+    """Device phase 2: replay the true chain, then symbols/histograms."""
+    from . import parse_pallas as pp
+
+    is_token = pp.parse_replay(tiles, entries) & valid
+    return _finish_analysis(data, use, dist, is_token)
 
 
 # ---------------------------------------------------------------------------
@@ -681,13 +688,35 @@ def _dispatch_analyze(chunk: np.ndarray, lazy: bool):
     lengths[L_real - 1] = n - (L_real - 1) * MEMBER_DATA
     padded = np.zeros((L, MEMBER_DATA), dtype=np.uint8)
     padded.reshape(-1)[:n] = chunk
-    a = analyze_device(jnp.asarray(padded), jnp.asarray(lengths), lazy)
+    from . import parse_pallas as pp
+
+    if pp.parse_available() and MEMBER_DATA % (512 * 128) == 0:
+        dd = jnp.asarray(padded)
+        p1 = analyze_phase1(dd, jnp.asarray(lengths), lazy)
+        try:
+            p1["transfers"].copy_to_host_async()
+        except Exception:
+            pass
+        a = ("phase1", dd, p1)
+    else:
+        a = analyze_device(jnp.asarray(padded), jnp.asarray(lengths), lazy)
     return a, padded, lengths, L, L_real
 
 
 def _plan_and_emit(pend):
     """Stage 2: pull the histograms, plan codes on host, issue emit."""
     a, padded, lengths, L, L_real = pend
+    if isinstance(a, tuple) and a[0] == "phase1":
+        # Two-phase pallas parse: walk the cross-tile chain on host
+        # (NT scalar steps per lane over the pulled transfer maps),
+        # then replay + finish on device.
+        from . import parse_pallas as pp
+
+        _tag, dd, p1 = a
+        entries = pp.host_entries(np.asarray(p1["transfers"]))
+        a = analyze_phase2(
+            dd, p1["use"], p1["dist"], p1["tiles"], p1["valid"], jnp.asarray(entries)
+        )
     litlen_hist = np.asarray(a["litlen_hist"]).astype(np.int64)
     dist_hist = np.asarray(a["dist_hist"]).astype(np.int64)
     # EOB occurs once per lane.

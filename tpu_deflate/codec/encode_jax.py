@@ -57,7 +57,7 @@ def _device_crc_wanted() -> bool:
 
 HASH_BITS = 16
 K_CANDIDATES = 16  # sorted-space candidates are static shifts: K is cheap now
-MATCH_WORDS = 9  # pre-gathered window words: exact prefix compare to 36 bytes
+MATCH_WORDS = 13  # pre-gathered window words: exact prefix compare to 52 bytes
 MAX_CODE_BITS = 15  # full RFC 1951 range (package-merge cap)
 ENC_LANE_BATCH = 64  # members per device dispatch
 _ENC_L_BUCKETS = (4, 16, ENC_LANE_BATCH)

@@ -4,22 +4,28 @@ The reference encoder is a sequential per-chunk scan
 (``comp/Lz77Huffman.java:68-131``); this path recasts the whole encode as
 batched device kernels over independent 64 KiB members (lanes):
 
-- **analyze kernel** (jit): multiplicative 4-byte hashing; per-lane stable
-  argsort groups equal hashes so each position's K nearest previous
-  occurrences are its in-bucket predecessors; candidate scoring by
-  word-wise (uint32) prefix compare; best-match extension via a masked
-  ``while_loop``; greedy parse by pointer doubling; masked scatter-add
-  histograms. One fused jitted graph, no per-position host logic.
+- **analyze** (jit, two device phases on real chips): multiplicative
+  4/3-byte hashing; one stable argsort per hash family groups equal
+  hashes, after which the K nearest previous occurrences are STATIC
+  shifts of the sorted arrays and the exact match-length compare (to
+  4*MATCH_WORDS bytes, from pre-gathered window words) is gather-free;
+  arithmetic RLE lanes give exact dist<=4 runs; the greedy/lazy parse
+  runs as pallas tile-transfer kernels with the serial cross-tile walk
+  on the host (``parse_pallas``); masked scatter-add histograms.
 - **host planning**: lock-step two-queue Huffman (``huffman_lengths_batch``)
   for all lanes at once, full 15-bit RFC 1951 code range (the ladder
   decoder has no LUT-width cap), canonical code assignment batched,
   per-lane dynamic header layout.
+- **on-device routing** (``route_strategies``): exact stored/fixed/
+  dynamic bit costs per lane from the device-resident histograms,
+  argmin-routed before the single emit (≙ comp/MultiStrategy.java:31-56).
 - **emit kernel** (jit): every (position, slot) pair becomes a
   (value, nbits) token; bit offsets are one cumulative sum; bits land via
   carry-free scatter-add into uint32 words (slot bit ranges are disjoint
   by construction, so add == or).
-- member assembly on host: TD-indexed gzip headers, device-computed CRC-32
-  trailers (``checksum_jax``), stored fallback for incompressible lanes.
+- member assembly on host: TD-indexed gzip headers, batched device
+  CRC-32 trailers on directly-attached TPUs (``checksum_jax``), stored
+  framing for stored-routed lanes.
 
 Capability note: this path targets throughput on the profile; the host
 strategy system (``deflate_encode.py``) remains the fully general encoder.
@@ -57,7 +63,7 @@ def _device_crc_wanted() -> bool:
 
 HASH_BITS = 16
 K_CANDIDATES = 16  # sorted-space candidates are static shifts: K is cheap now
-MATCH_WORDS = 13  # pre-gathered window words: exact prefix compare to 52 bytes
+MATCH_WORDS = 9  # pre-gathered window words: exact prefix compare to 36 bytes
 MAX_CODE_BITS = 15  # full RFC 1951 range (package-merge cap)
 ENC_LANE_BATCH = 64  # members per device dispatch
 _ENC_L_BUCKETS = (4, 16, ENC_LANE_BATCH)

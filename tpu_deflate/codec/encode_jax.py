@@ -49,17 +49,17 @@ from .profile import MEMBER_DATA, build_member
 
 
 def _device_crc_wanted() -> bool:
-    """Batched device member-CRC only where it helps: a directly-attached
-    TPU (or forced via TPU_DEFLATE_DEVICE_CRC=1 for testing)."""
+    """Batched device member-CRC, opt-in via TPU_DEFLATE_DEVICE_CRC=1.
+
+    Only helps where the chip is directly attached (member bytes ride a
+    fast local link and the host sheds the CRC pass); this environment's
+    tunneled chip reports platform "tpu" like a local one, so the choice
+    cannot be auto-detected — the relay link makes the re-upload a net
+    loss there, hence explicit opt-in (deployments set it, or use the
+    host slice-by-8 C kernel by default)."""
     import os
 
-    v = os.environ.get("TPU_DEFLATE_DEVICE_CRC")
-    if v is not None:
-        return v not in ("", "0")
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return os.environ.get("TPU_DEFLATE_DEVICE_CRC", "") not in ("", "0")
 
 HASH_BITS = 16
 K_CANDIDATES = 16  # sorted-space candidates are static shifts: K is cheap now

@@ -1204,7 +1204,7 @@ def _k1_groups(payloads_or_rows, bitpos_list) -> list[int]:
     start_bits = np.zeros(n, np.int64)
     for i, (p, bp) in enumerate(zip(payloads_or_rows, bitpos_list)):
         sh = bp // 8
-        m = min(len(p) - sh, P)
+        m = max(0, min(len(p) - sh, P))  # malformed lane -> widest k1 fallback
         rows[i, :m] = np.frombuffer(p, np.uint8, m, sh)
         row_bits[i] = m * 8
         start_bits[i] = bp % 8
@@ -1628,11 +1628,18 @@ def kernel_only_bench(data: bytes, *, lanes: int = V2_LANE_BATCH, reps: int = 4)
     # fixed per-pull relay round trip (~30 ms on tunneled backends) that
     # is not kernel work, while keeping per-wave dispatch cost — each
     # extra pass redispatches every wave. Best-of-``reps`` for both.
-    t1 = min(run_n(1) for _ in range(reps))
-    t3 = min(run_n(3) for _ in range(reps))
-    best = max((t3 - t1) / 2, 1e-9)
+    # Chip-sharing variance can invert the measurement (best t3 below
+    # t1); require a sane separation before trusting the marginal number
+    # and always report the single-pass figure alongside.
+    for _attempt in range(3):
+        t1 = min(run_n(1) for _ in range(reps))
+        t3 = min(run_n(3) for _ in range(reps))
+        if t3 > t1 * 1.5:
+            break
+    best = max((t3 - t1) / 2, t1 / 4, 1e-9)
 
     return {
+        "decode_gbps_single_pass": round(isize_total / t1 / 1e9, 4),
         "lanes": lanes,
         "members": len(huff),
         "stored_members_excluded": stored,

@@ -754,13 +754,15 @@ def _plan_and_emit(pend):
     # On-device strategy routing (EP analog): exact stored/fixed/dynamic
     # bit costs from the device-resident histograms, argmin per lane,
     # fixed-code lanes swap in the static tables before the single emit.
+    # int32 throughout: max dynamic cost ~560k bits per 64 KiB lane fits
+    # comfortably, and x64 is disabled (int64 would truncate + warn).
     choice, _dyn, _fx, _st = route_strategies(
-        a["litlen_hist"].astype(jnp.int64),
-        a["dist_hist"].astype(jnp.int64),
-        jnp.asarray(ll_lengths.astype(np.int64)),
-        jnp.asarray(d_lengths.astype(np.int64)),
-        jnp.asarray(header_bits.sum(axis=1).astype(np.int64)),
-        jnp.asarray(lengths.astype(np.int64)),
+        a["litlen_hist"].astype(jnp.int32),
+        a["dist_hist"].astype(jnp.int32),
+        jnp.asarray(ll_lengths.astype(np.int32)),
+        jnp.asarray(d_lengths.astype(np.int32)),
+        jnp.asarray(header_bits.sum(axis=1).astype(np.int32)),
+        jnp.asarray(lengths.astype(np.int32)),
     )
     fl, fd = _fixed_code_tables()
     ll_c, d_c, hv, hb, ev, eb = _apply_route(

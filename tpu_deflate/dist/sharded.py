@@ -221,6 +221,14 @@ def sharded_continuous_compress(
     alignment-independent, so the result matches the serial continuous
     encoder's stream except where a shard's stored-block fallback padding
     differs (ratio within noise; round-trip exact).
+
+    ``preset_dict`` caveat: the output is framed as a plain gzip member
+    even when a dictionary is supplied, so the DEFLATE body may
+    back-reference dictionary bytes that a standard gzip consumer does
+    not have (it would fail with copy-before-start). Dictionary output
+    is only decodable by a dict-primed raw-DEFLATE decoder (e.g.
+    ``InflaterStream`` seeded with the dictionary, or zlib FDICT framing
+    applied by the caller); the engine path never passes one.
     """
     from .. import native
     from ..codec.profile import _empty_member, build_member

@@ -172,6 +172,43 @@ def section_tpu_kernel(data: bytes) -> None:
         print(f"tpu kernel-only: {k}", file=sys.stderr)
 
 
+def section_tpu_kernel_full(data: bytes) -> None:
+    """Full-member device decode: bits -> bytes -> CRC on chip."""
+    from tpu_deflate.codec import decode_jax_v2 as v2
+
+    ENGINES["tpu_kernel_full"] = {"status": "running"}
+    k = v2.kernel_only_bench_full(data)
+    if k:
+        ENGINES["tpu_kernel_full"] = k
+        print(f"tpu kernel-full: {k}", file=sys.stderr)
+
+
+def _measure_link() -> dict:
+    """Raw relay-link bandwidth + RTT right now (the e2e decode is
+    link-bound on this tunneled backend; the e2e number is only
+    interpretable next to the link health it rode on)."""
+    import jax
+    import jax.numpy as jnp
+
+    mb = 4
+    x = np.random.default_rng(0).integers(0, 255, mb << 20, dtype=np.uint8)
+    t0 = time.monotonic()
+    d = jax.device_put(x)
+    np.asarray(jnp.sum(d.astype(jnp.int32)))
+    up = mb / (time.monotonic() - t0)
+    y = (d.astype(jnp.int32) + 1).astype(jnp.uint8)
+    np.asarray(jnp.sum(y.astype(jnp.int32)))
+    t0 = time.monotonic()
+    np.asarray(y)
+    down = mb / (time.monotonic() - t0)
+    small = jnp.zeros(8, jnp.int32)
+    t0 = time.monotonic()
+    for _ in range(3):
+        np.asarray(small + 1)
+    rtt = (time.monotonic() - t0) / 3
+    return {"up_mbps": round(up, 1), "down_mbps": round(down, 1), "rtt_ms": round(rtt * 1e3)}
+
+
 def section_tpu_e2e(data: bytes) -> None:
     import jax
 
@@ -180,6 +217,10 @@ def section_tpu_e2e(data: bytes) -> None:
     plat = jax.devices()[0].platform
     res: dict = {"platform": plat}
     ENGINES["tpu"] = res
+    try:
+        res["link"] = _measure_link()
+    except Exception as e:
+        NOTES.append(f"link measure failed: {e!r:.100}")
     # Decode end-to-end (native-encoded member profile; both engines
     # emit the same stream profile). Link-capped on tunneled backends.
     tpu_data = data[: TPU_SLICE_MB << 20]
@@ -225,6 +266,7 @@ def main() -> int:
     # cannot take the later ones (or the final JSON) with it.
     sections = [
         ("native", section_native, 300),
+        ("tpu_kernel_full", section_tpu_kernel_full, 120),
         ("tpu_kernel", section_tpu_kernel, 60),
         ("tpu", section_tpu_e2e, 90),
         ("host", section_host, 40),

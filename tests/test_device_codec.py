@@ -13,10 +13,10 @@ import pytest
 import tpu_deflate as td
 from tpu_deflate.codec.decode_jax import (
     build_luts_batch,
-    gzip_decompress_tpu,
     parse_headers_batch,
     split_members,
 )
+from tpu_deflate.codec.decode_jax_v2 import gzip_decompress_tpu_v2 as gzip_decompress_tpu
 from tpu_deflate.codec.encode_jax import compress_members_tpu, _run_to_symbol, _dist_to_symbol
 from tpu_deflate.codec.profile import profile_compress_host
 from tpu_deflate.format.tables import (

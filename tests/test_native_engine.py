@@ -90,7 +90,7 @@ def test_native_profile_roundtrip_and_interop():
     assert pygzip.decompress(gz) == data
     assert native.gzip_decompress_native(gz) == data
     assert td.gzip_decompress(gz) == data  # host engine reads native output
-    from tpu_deflate.codec.decode_jax import gzip_decompress_tpu
+    from tpu_deflate.codec.decode_jax_v2 import gzip_decompress_tpu_v2 as gzip_decompress_tpu
 
     assert gzip_decompress_tpu(gz) == data  # device engine reads it too
 

@@ -1,40 +1,29 @@
-"""TPU member-parallel gzip/DEFLATE decoder.
+"""Member indexing + batched host-side header parsing for the device
+decoder (shared front end of ``decode_jax_v2``).
 
 The reference decoder is a single bit-cursor state machine
-(``decomp/Open.java:83-110``) — inherently serial. This path breaks the
-serial dependency with the format's own seams (SURVEY.md §2.1):
+(``decomp/Open.java:83-110``) — inherently serial. The member seam this
+module exploits (SURVEY.md §2.1): multi-member gzip streams whose
+members carry a bgzf-style FEXTRA subfield ('T','D': compressed member
+size) split in O(members) without decoding; each member is an
+independent decode lane. Foreign streams fall back transparently.
 
-- Input is a standard multi-member gzip stream whose members carry a
-  bgzf-style FEXTRA subfield ('T','D': compressed member size), written by
-  our TPU encoder. Member boundaries are then O(members) to find without
-  decoding; each member is an independent decode lane. Foreign streams
-  fall back to the host decoder transparently.
-- **Phase H (host, vectorized)**: lock-step batched parse of every
-  member's DEFLATE block header across lanes (NumPy state machine decoding
-  one code-length symbol per lane per step), then batched 12-bit LUT
-  construction for all lanes at once.
-- **Phase 1 (device)**: *bit-parallel speculative decode*. A DEFLATE
-  block is bit-serial only through its cursor; instead of walking it, the
-  kernel decodes one complete litlen[+extra][+dist[+extra]] group starting
-  at EVERY bit position of the payload simultaneously (one batched LUT
-  gather per table — no loops), producing a successor pointer
-  ``next[b]``; the true symbol sequence is exactly the orbit of the block
-  body's start bit under ``next``, recovered with O(log bits) rounds of
-  pointer doubling. Speculative work is ~20x the real symbol count, but
-  it is all dense VPU/bandwidth work, which the TPU trades profitably
-  against any serial loop (measured ~200us per loop iteration on this
-  backend vs milliseconds for whole-array passes).
-- **Phase 2 (device)**: LZ77 resolution as data-parallel pointer doubling:
-  token runs expand to per-byte source pointers (scatter + cumulative max)
-  and log2(out) rounds of ``ptr = ptr[ptr]`` converge every byte to its
-  originating literal — the two-phase scheme of Massively-Parallel Lossless
-  Data Decompression (PAPERS.md), recast for the VPU.
+Pieces here:
+- ``split_members``: walk the TD index -> MemberIndex offsets.
+- ``parse_headers_batch``: lock-step batched parse of every lane's
+  fixed/dynamic block header (NumPy state machine, one code-length
+  symbol per lane per step; ≙ ``decomp/Open.java:322-431``) with the
+  full reference error taxonomy.
+- ``build_luts_batch``: batched canonical decode LUTs (used by the
+  encoder's header planner and tests; the v2 decoder derives bounds
+  ladders from the same canonical tables instead).
+- ``_decode_stored_member``: host memcpy of stored-block members.
 
-Error taxonomy: device lanes report int32 reason codes (reserved symbols,
-copy-before-start, overrun) which the host converts to DataFormatError;
-trailer CRC/ISIZE are verified per member (native/host CRC — decoded
-bytes materialize on the host at resolve time, so that is where the
-checksum is cheapest; the device CRC kernels serve the encode path).
+The round-1 bit-parallel device decode path that used to live here
+(speculative per-bit LUT decode + pointer-doubling LZ77 resolve) was
+superseded by ``decode_jax_v2`` (gather-free stages A-E) and
+``resolve_pallas`` (expand + one-hot-matmul pointer jumping) and has
+been removed.
 """
 
 from __future__ import annotations
@@ -42,24 +31,16 @@ from __future__ import annotations
 import io
 from dataclasses import dataclass
 
-import jax
-import jax.numpy as jnp
-
-from ..kernels import jax_setup  # noqa: F401  (compilation cache)
 import numpy as np
 
 from ..format.errors import DataFormatError, Reason, reason_to_code
 from ..format.tables import (
     CLEN_ORDER,
-    DIST_BASE,
-    DIST_EXTRA,
     FIXED_DIST_LENGTHS,
     FIXED_LITLEN_LENGTHS,
-    LENGTH_BASE,
-    LENGTH_EXTRA,
 )
 from ..kernels import checksum as ck
-from ..kernels.huffman import canonical_codes, validate_code_lengths
+from ..kernels.huffman import validate_code_lengths
 
 DEV_LUT_BITS = 12  # device profile: all litlen/dist code lengths <= 12
 MEMBER_DATA = 64 * 1024  # uncompressed bytes per member in the TPU profile
@@ -405,256 +386,10 @@ def build_luts_batch(lengths: np.ndarray, lut_bits: int = DEV_LUT_BITS) -> np.nd
     return lut
 
 
-# ---------------------------------------------------------------------------
-# Phase 1: device token decode
-# ---------------------------------------------------------------------------
-
-_LEN_BASE = jnp.asarray(np.concatenate([LENGTH_BASE, [0, 0, 0]]).astype(np.int32))
-_LEN_EXTRA = jnp.asarray(np.concatenate([LENGTH_EXTRA, [0, 0, 0]]).astype(np.int32))
-_DIST_BASE = jnp.asarray(np.concatenate([DIST_BASE, [1, 1]]).astype(np.int32))
-_DIST_EXTRA = jnp.asarray(np.concatenate([DIST_EXTRA, [0, 0]]).astype(np.int32))
-
-TOKEN_MATCH_BIT = 1 << 26
-
-
-def _device_u32_view(payload: jnp.ndarray) -> jnp.ndarray:
-    L, P = payload.shape
-    ext = jnp.concatenate([payload, jnp.zeros((L, 4), dtype=jnp.uint8)], axis=1).astype(
-        jnp.uint32
-    )
-    return (
-        ext[:, :P]
-        | (ext[:, 1 : P + 1] << 8)
-        | (ext[:, 2 : P + 2] << 16)
-        | (ext[:, 3 : P + 3] << 24)
-    )
-
-
-def _run_base_extra(sym):
-    """Closed-form length-symbol decode (≙ RUN_LENGTH_TABLE derivation,
-    ``decomp/Open.java:843-861``) — arithmetic only, no table gathers."""
-    s = jnp.clip(sym - 257, 0, 28)
-    e = jnp.where(s <= 7, 0, (s - 4) >> 2)
-    e = jnp.where(s == 28, 0, e)
-    base = jnp.where(s <= 7, s + 3, (((s & 3) + 4) << jnp.maximum(e, 0)) + 3)
-    base = jnp.where(s == 28, 258, base)
-    return base.astype(jnp.int32), e.astype(jnp.int32)
-
-
-def _dist_base_extra(dsym):
-    """Closed-form distance-symbol decode (``decomp/Open.java:864-886``)."""
-    d = jnp.clip(dsym, 0, 29)
-    e = jnp.where(d <= 3, 0, (d >> 1) - 1)
-    base = jnp.where(d <= 3, d + 1, (((d & 1) + 2) << jnp.maximum(e, 0)) + 1)
-    return base.astype(jnp.int32), e.astype(jnp.int32)
-
-
-def _tal(a, idx):
-    """Gather along axis 1 (the only fast dynamic-index primitive on this
-    backend; plain advanced indexing / jnp.take stall the compiler)."""
-    return jnp.take_along_axis(a, idx, axis=1)
-
-
-@jax.jit
-def decode_tokens_device(
-    payload: jnp.ndarray,  # (L, P) uint8
-    body_bitpos: jnp.ndarray,  # (L,) int32
-    payload_bits: jnp.ndarray,  # (L,) int32
-    litlen_lut: jnp.ndarray,  # (L, 4096) int32 packed len<<9|sym
-    dist_lut: jnp.ndarray,  # (L, 4096) int32
-    dist_empty: jnp.ndarray,  # (L,) bool
-    tokens_init: jnp.ndarray,  # (L, T) int32 zeros
-):
-    """Bit-parallel decode: one speculative symbol at every bit position.
-
-    Returns (tokens (L,T) int32, token_counts (L,), err (L,) int32).
-    Token packing: literal -> byte value; match -> TOKEN_MATCH_BIT |
-    run<<16 | (dist-1).
-    """
-    L, T = tokens_init.shape
-    P = payload.shape[1]
-    B = P * 8
-    mask12 = (1 << DEV_LUT_BITS) - 1
-
-    # 32-bit little-endian window starting at every bit position: expand
-    # the per-byte u32 windows by the 8 in-byte shifts. (>=25 valid bits.)
-    u32v = _device_u32_view(payload)  # (L, P)
-    wbits = (u32v[:, :, None] >> jnp.arange(8, dtype=jnp.uint32)[None, None, :]).reshape(
-        L, B
-    )
-
-    # Speculative litlen decode at every bit position.
-    e1 = _tal(litlen_lut, (wbits & mask12).astype(jnp.int32))
-    sym = e1 & 511
-    ln = e1 >> 9
-    is_lit = sym < 256
-    is_eob = sym == 256
-    is_match = sym > 256
-    run_base, run_bits = _run_base_extra(sym)
-    run = run_base + ((wbits >> ln.astype(jnp.uint32)).astype(jnp.int32) & ((1 << run_bits) - 1))
-    bpos = jnp.arange(B, dtype=jnp.int32)[None, :]
-    b2 = bpos + ln + jnp.where(is_match, run_bits, 0)
-
-    # Speculative distance decode at the (data-dependent) follow position.
-    w2 = _tal(wbits, jnp.clip(b2, 0, B - 1))
-    e2 = _tal(dist_lut, (w2 & mask12).astype(jnp.int32))
-    dsym = e2 & 511
-    dln = e2 >> 9
-    dist_base, dist_bits = _dist_base_extra(dsym)
-    dist = dist_base + ((w2 >> dln.astype(jnp.uint32)).astype(jnp.int32) & ((1 << dist_bits) - 1))
-    end_b = jnp.where(is_match, b2 + dln + dist_bits, bpos + ln)
-
-    # Per-position error classification (only matters if reached).
-    perr = jnp.where(is_match & (sym > 285), _ERR_RESERVED_LEN, 0)
-    empty_code = reason_to_code(Reason.LENGTH_ENCOUNTERED_WITH_EMPTY_DISTANCE_CODE)
-    perr = jnp.where((perr == 0) & is_match & dist_empty[:, None], empty_code, perr)
-    perr = jnp.where(
-        (perr == 0) & is_match & ~dist_empty[:, None] & (dsym > 29), _ERR_RESERVED_DIST, perr
-    )
-    overrun = end_b > payload_bits[:, None]
-    perr = jnp.where((perr == 0) & overrun, _ERR_END, perr)
-
-    # Successor pointer; sentinels: B = clean EOB stop, B+1 = error stop.
-    nxt = jnp.where(perr != 0, B + 1, jnp.where(is_eob, B, jnp.minimum(end_b, B + 1)))
-    SENT = B  # >= B means terminal
-
-    # Orbit of the body start bit under nxt: pointer doubling with an
-    # unrolled reached-set accumulation (scatter+gather chains compile;
-    # loops containing gathers do not, on this backend).
-    jumppad = jnp.concatenate(
-        [nxt, jnp.full((L, 1), B, jnp.int32), jnp.full((L, 1), B + 1, jnp.int32)], axis=1
-    )  # (L, B+2); sentinel rows self-loop
-    start = body_bitpos.astype(jnp.int32)
-    reached = jnp.zeros((L, B + 2), bool)
-    lanes2 = jnp.arange(L, dtype=jnp.int32)[:, None]
-    reached = reached.at[lanes2, start[:, None]].set(True)
-    # Orbit length is bounded by the token capacity, not the bit width.
-    rounds = int(np.ceil(np.log2(min(B, T + 1)))) + 1
-    jump = jumppad
-    for _ in range(rounds):
-        tgt = jnp.where(reached, jump, B)  # unreached -> harmless sentinel
-        hit = jnp.zeros((L, B + 2), bool).at[lanes2, tgt].set(True, mode="drop")
-        reached = reached | hit
-        jump = _tal(jump, jnp.clip(jump, 0, B + 1))
-
-    err = jnp.where(reached[:, B + 1], _ERR_END, 0)  # refined below on host
-    reached_tok = reached[:, :B] & ~is_eob
-    # First error actually reached. Error positions are terminal (their
-    # successor is the B+1 sentinel), so the replayed chain contains at
-    # most ONE position with perr != 0 — the max below is therefore
-    # exactly the first error in stream order, matching the reference's
-    # serial precedence (Open.java:516-593).
-    perr_reached = jnp.where(reached[:, :B], perr, 0)
-    err_code = jnp.max(perr_reached, axis=1)  # the single reached error
-    err = jnp.where(err != 0, jnp.maximum(err_code, 1), 0)
-
-    # Compact reached token positions into (L, T) in stream order.
-    cidx = jnp.cumsum(reached_tok.astype(jnp.int32), axis=1) - 1
-    tcount = jnp.sum(reached_tok, axis=1).astype(jnp.int32)
-    token = jnp.where(
-        is_lit, sym, TOKEN_MATCH_BIT | (jnp.minimum(run, 258) << 16) | (jnp.clip(dist - 1, 0, 65535))
-    )
-    scatter_idx = jnp.where(reached_tok & (cidx < T), cidx, T)
-    tokens = tokens_init.at[lanes2, scatter_idx].set(token, mode="drop")
-    err = jnp.where(tcount > T - 1, jnp.maximum(err, 1), err)
-    return tokens, tcount, err
-
 
 # ---------------------------------------------------------------------------
-# Phase 2: device LZ77 resolve
+# Stored-member fast path (host memcpy; shared with the v2 driver)
 # ---------------------------------------------------------------------------
-
-
-@jax.jit
-def resolve_lz77_device(tokens: jnp.ndarray, tcount: jnp.ndarray, out_size: jnp.ndarray):
-    """Expand tokens to bytes and resolve back-references.
-
-    tokens: (L, T) int32; out arrays sized (L, O) with O = MEMBER_DATA.
-    Returns (bytes (L, O) uint8, out_len (L,), err (L,)).
-    """
-    L, T = tokens.shape
-    O = MEMBER_DATA
-    lanes = jnp.arange(L, dtype=jnp.int32)
-    t_idx = jnp.arange(T, dtype=jnp.int32)
-
-    is_match = (tokens & TOKEN_MATCH_BIT) != 0
-    run = jnp.where(is_match, (tokens >> 16) & 0x3FF, 1)
-    dist = jnp.where(is_match, (tokens & 0xFFFF) + 1, 0)
-    valid = t_idx[None, :] < tcount[:, None]
-    sizes = jnp.where(valid, run, 0)
-    ends = jnp.cumsum(sizes, axis=1)
-    starts = ends - sizes
-    out_len = ends[:, -1] if T > 0 else jnp.zeros(L, jnp.int32)
-
-    # Token id per output byte: scatter starts then cumulative max.
-    tok_at = jnp.full((L, O), -1, dtype=jnp.int32)
-    scat_idx = jnp.where(valid & (sizes > 0), starts, O)
-    tok_at = tok_at.at[lanes[:, None], scat_idx].max(
-        jnp.broadcast_to(t_idx[None, :], (L, T)), mode="drop"
-    )
-    tok_at = jax.lax.associative_scan(jnp.maximum, tok_at, axis=1)
-    tok_at_safe = jnp.clip(tok_at, 0, T - 1)
-
-    pos = jnp.arange(O, dtype=jnp.int32)[None, :]
-    tok_start = jnp.take_along_axis(starts, tok_at_safe, axis=1)
-    tok_match = jnp.take_along_axis(is_match.astype(jnp.int32), tok_at_safe, axis=1) == 1
-    tok_dist = jnp.take_along_axis(dist, tok_at_safe, axis=1)
-    tok_val = jnp.take_along_axis(tokens & 0xFF, tok_at_safe, axis=1)
-
-    in_range = (pos < out_len[:, None]) & (tok_at >= 0)
-    src = pos - tok_dist
-    bad_src = in_range & tok_match & (src < 0)
-    err = jnp.where(bad_src.any(axis=1), _ERR_BEFORE_START, 0)
-
-    # Pointer doubling: ptr[i] = i for literals, else i - dist.
-    ptr = jnp.where(tok_match & in_range, jnp.clip(src, 0, O - 1), pos)
-    rounds = int(np.ceil(np.log2(O)))
-    for _ in range(rounds):
-        ptr = jnp.take_along_axis(ptr, ptr, axis=1)
-    out = jnp.take_along_axis(tok_val, ptr, axis=1).astype(jnp.uint8)
-    out = jnp.where(in_range, out, 0).astype(jnp.uint8)
-    return out, out_len, err
-
-
-# ---------------------------------------------------------------------------
-# Top-level TPU decode
-# ---------------------------------------------------------------------------
-
-
-def gzip_decompress_tpu(data: bytes, *, verify_crc: bool = True) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream on the TPU.
-
-    Streams without the TD member index (foreign encoders) fall back to the
-    host decoder automatically.
-    """
-    buf = np.frombuffer(data, dtype=np.uint8)
-    members = split_members(buf)
-    if not members:
-        from ..streams.gzip_stream import GzipReader
-
-        return GzipReader(io.BytesIO(data), multi_member=True).read()
-    return _decode_members(buf, members, verify_crc=verify_crc)
-
-
-def _decode_members(buf: np.ndarray, members: list[MemberIndex], *, verify_crc: bool) -> bytes:
-    # Partition members: stored members (first block btype 00) are a host
-    # memcpy; Huffman members go to the device in lane batches.
-    out_parts: list[np.ndarray | None] = [None] * len(members)
-    huff: list[tuple[int, MemberIndex]] = []
-    for i, m in enumerate(members):
-        first_bits = int(buf[m.payload_start]) if m.payload_start < buf.size else 0
-        btype = (first_bits >> 1) & 3
-        if btype == 0:
-            out_parts[i] = _decode_stored_member(buf, m, verify_crc=verify_crc)
-        else:
-            huff.append((i, m))
-    for base in range(0, len(huff), LANE_BATCH):
-        batch = huff[base : base + LANE_BATCH]
-        results = _decode_member_batch(buf, [m for _, m in batch], verify_crc=verify_crc)
-        for (i, _), r in zip(batch, results):
-            out_parts[i] = r
-    total = np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint8)
-    return total.tobytes()
 
 
 def _decode_stored_member(buf: np.ndarray, m: MemberIndex, *, verify_crc: bool) -> np.ndarray:
@@ -683,100 +418,26 @@ def _decode_stored_member(buf: np.ndarray, m: MemberIndex, *, verify_crc: bool) 
     result = np.concatenate(out) if out else np.zeros(0, np.uint8)
     if result.size != m.isize:
         raise DataFormatError(Reason.DECOMPRESSED_SIZE_MISMATCH, "Decompressed size mismatch")
-    if verify_crc and ck.crc32(result) != m.crc32:
+    if verify_crc and _fast_crc32(result) != m.crc32:
         raise DataFormatError(
             Reason.DECOMPRESSED_CHECKSUM_MISMATCH, "Decompression CRC-32 mismatch"
         )
     return result
 
 
-PAYLOAD_PAD = 66560  # largest device payload width bucket
+def _fast_crc32(data: np.ndarray) -> int:
+    """Native C CRC when available (stored members are pure host work;
+    the NumPy table CRC was a visible slice of e2e decode time)."""
+    try:
+        from .. import native
 
-# Shape buckets: each (lanes, payload width) pair is one compiled graph.
-_P_BUCKETS = (8320, 33280, PAYLOAD_PAD)
-_L_BUCKETS = (4, 16, LANE_BATCH)
-
-# Minimal valid payload for padding lanes: a final fixed-Huffman block that
-# is immediately end-of-block (bits: bfinal=1, btype=01, EOB 0000000).
-_PAD_PAYLOAD = bytes([0x03, 0x00])
-
-
-def _bucket(value: int, buckets: tuple[int, ...]) -> int:
-    for b in buckets:
-        if value <= b:
-            return b
-    return buckets[-1]
+        if native.available():
+            return native.crc32(data.tobytes())
+    except Exception:
+        pass
+    return ck.crc32(data)
 
 
-def _decode_member_batch(buf, batch, *, verify_crc: bool):
-    L_real = len(batch)
-    L = _bucket(L_real, _L_BUCKETS)
-    pay_lens = np.zeros(L, dtype=np.int64)
-    pay_lens[:L_real] = [m.end - 8 - m.payload_start for m in batch]
-    if pay_lens.max() > PAYLOAD_PAD:
-        return _host_fallback(buf, batch)
-    P = _bucket(int(pay_lens.max()), _P_BUCKETS)
-    payload = np.zeros((L, P), dtype=np.uint8)
-    for i, m in enumerate(batch):
-        payload[i, : pay_lens[i]] = buf[m.payload_start : m.end - 8]
-    for i in range(L_real, L):
-        payload[i, : len(_PAD_PAYLOAD)] = np.frombuffer(_PAD_PAYLOAD, np.uint8)
-        pay_lens[i] = len(_PAD_PAYLOAD)
-    payload_bits = pay_lens * 8
-
-    hp = parse_headers_batch(payload, payload_bits)
-    if not hp.bfinal.all():
-        # profile violation: multi-block member -> host fallback
-        return _host_fallback(buf, batch)
-    if (hp.litlen_lengths.max() > DEV_LUT_BITS) or (hp.dist_lengths.max() > DEV_LUT_BITS):
-        return _host_fallback(buf, batch)
-
-    litlen_lut = build_luts_batch(hp.litlen_lengths)
-    dist_lut = build_luts_batch(hp.dist_lengths)
-
-    T = MEMBER_DATA + 1
-    tokens_init = jnp.zeros((L, T), dtype=jnp.int32)
-    tokens, tcount, err1 = decode_tokens_device(
-        jnp.asarray(payload),
-        jnp.asarray(hp.body_bitpos.astype(np.int32)),
-        jnp.asarray(payload_bits.astype(np.int32)),
-        jnp.asarray(litlen_lut),
-        jnp.asarray(dist_lut),
-        jnp.asarray(hp.dist_empty),
-        tokens_init,
-    )
-    err1 = np.asarray(err1)
-    for lane in range(L):
-        if err1[lane]:
-            from ..format.errors import check_device_error
-
-            check_device_error(int(err1[lane]), f"member {lane}")
-
-    out, out_len, err2 = resolve_lz77_device(tokens, tcount, jnp.int32(MEMBER_DATA))
-    err2 = np.asarray(err2)
-    for lane in range(L):
-        if err2[lane]:
-            from ..format.errors import check_device_error
-
-            check_device_error(int(err2[lane]), f"member {lane}")
-    out = np.asarray(out)
-    out_len = np.asarray(out_len)
-
-    results = []
-    for i, m in enumerate(batch):
-        if int(out_len[i]) != m.isize:
-            raise DataFormatError(
-                Reason.DECOMPRESSED_SIZE_MISMATCH, "Decompressed size mismatch"
-            )
-        results.append(out[i, : out_len[i]])
-    if verify_crc:
-        crcs = [ck.crc32(r) for r in results]
-        for i, m in enumerate(batch):
-            if crcs[i] != m.crc32:
-                raise DataFormatError(
-                    Reason.DECOMPRESSED_CHECKSUM_MISMATCH, "Decompression CRC-32 mismatch"
-                )
-    return results
 
 
 def _host_fallback(buf, batch):

@@ -1042,14 +1042,15 @@ def _decode_huffman_wave(wave: list[LaneState], runner=None) -> None:
             if pend is not None:
                 pending.append(pend)
     # Pipeline the device->host round trips: start all small-vector
-    # copies, then (reading each small) request every token slice, then
+    # copies, then (reading each small) request every payload slice, then
     # consume — transfers stream back to back instead of paying one
     # round trip per pull.
     for pend in pending:
         _async_to_host(pend[5])
     mids = [_apply_small(*pend) for pend in pending]
     for mid in mids:
-        _async_to_host(mid[3])
+        for arr in mid[3][1:]:
+            _async_to_host(arr)
     for mid in mids:
         _apply_tokens(*mid)
 
@@ -1360,11 +1361,13 @@ def _run_wave_safe(w: dict):
 
 
 @jax.jit
-def _pack_small(counts, has_eob, eob_exit, err_code, out_total, overflow):
-    """Stack a wave's six scalar-per-lane results into one (6, L) array:
+def _pack_small(counts, has_eob, eob_exit, err_code, out_total, overflow, nlit=None):
+    """Stack a wave's scalar-per-lane results into one (7, L) array:
     on tunneled backends each device->host pull pays a full round trip,
-    so the apply phase fetches one array instead of six."""
+    so the apply phase fetches one array instead of seven."""
     L = counts.shape[0]
+    if nlit is None:
+        nlit = jnp.zeros((L,), jnp.int32)
     return jnp.stack(
         [
             counts.astype(jnp.int32),
@@ -1373,8 +1376,44 @@ def _pack_small(counts, has_eob, eob_exit, err_code, out_total, overflow):
             err_code.astype(jnp.int32),
             out_total.astype(jnp.int32),
             jnp.broadcast_to(overflow.astype(jnp.int32), (L,)),
+            nlit.astype(jnp.int32),
         ]
     )
+
+
+@jax.jit
+def _pack_tokens_jit(tokens: jnp.ndarray):
+    """Split a wave's compacted token array for the link-bound pull.
+
+    The raw pull moves 4 bytes per token; on the tunneled relay link
+    (single-digit MB/s when shared) that IS the end-to-end decode time.
+    Splitting literals (1 byte) from matches (4 bytes) plus a 1-bit
+    order bitmap cuts the moved volume ~2-2.5x on literal-heavy streams.
+
+    tokens (L, M) int32 front-compacted, -1 padding. Returns
+    (bitmap (L, M/32) uint32 [bit k of word w = token 32w+k is literal],
+    lit (L, M) uint8 compacted literal bytes, match (L, M) int32
+    compacted match tokens, nlit (L,) int32).
+    """
+    from . import decode_pallas as dp
+
+    L, M = tokens.shape
+    is_lit = (tokens >= 0) & (tokens < 256)
+    is_match = tokens >= 256
+    lit_in = jnp.where(is_lit, tokens, -1)
+    match_in = jnp.where(is_match, tokens, -1)
+    if _use_pallas() and M % 128 == 0:
+        lit_c = dp.compact_any_pallas(lit_in)
+        match_c = dp.compact_any_pallas(match_in)
+    else:
+        lit_c, _, _ = compact_tokens_full(lit_in, is_lit)
+        match_c, _, _ = compact_tokens_full(match_in, is_match)
+    Mw = -(-M // 32)
+    bits = jnp.pad(is_lit.astype(jnp.uint32), ((0, 0), (0, Mw * 32 - M)))
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bitmap = jnp.sum(bits.reshape(L, Mw, 32) << shifts, axis=2, dtype=jnp.uint32)
+    nlit = jnp.sum(is_lit, axis=1)
+    return bitmap, lit_c.astype(jnp.uint8), match_c, nlit
 
 
 def _dispatch_block_stages(wave, rows, row_bits, hp, truncated, runner=None):
@@ -1387,8 +1426,9 @@ def _dispatch_block_stages(wave, rows, row_bits, hp, truncated, runner=None):
     else:
         run = _run_wave_unfused
     tokens, *rest = run(w)
-    small = _pack_small(*rest)
-    return wave, shift2, truncated, w, tokens, small, runner
+    bitmap, lit8, match32, nlit = _pack_tokens_jit(tokens)
+    small = _pack_small(*rest, nlit=nlit)
+    return wave, shift2, truncated, w, (bitmap, lit8, match32), small, runner
 
 
 def _async_to_host(arr) -> None:
@@ -1398,31 +1438,69 @@ def _async_to_host(arr) -> None:
         pass  # backend without async host copies: np.asarray blocks later
 
 
-def _apply_small(wave, shift2, truncated, w, tokens, small, runner=None):
-    small_h = np.asarray(small)  # one pull for all six per-lane vectors
+def _round_cols(k: int, width: int, bucket: int) -> int:
+    """Round a column request up to the pull bucket (0 stays 0)."""
+    return min(width, -(-k // bucket) * bucket)
+
+
+def _apply_small(wave, shift2, truncated, w, packed, small, runner=None):
+    small_h = np.asarray(small)  # one pull for all per-lane vectors
     if small_h[5, 0]:
         # some tile exceeded the two-level compaction budget (degenerate
-        # short-code stream): redo the wave with single-level compaction
+        # short-code stream): redo the wave with single-level compaction,
+        # pulling the raw token array (rare path; volume is secondary).
         run_safe = getattr(runner, "safe", None) or _run_wave_safe
         tokens, counts, has_eob, eob_exit, err_code, out_total, _ovf = run_safe(w)
         small_h = np.asarray(
             _pack_small(counts, has_eob, eob_exit, err_code, out_total, _ovf)
         )
-    # Request only the token columns in use — the device->host link is
-    # the scarce resource on tunneled backends.
-    kmax = int(small_h[0, : len(wave)].max()) if wave else 0
-    bucket = 4096
-    k = min(tokens.shape[1], -(-max(kmax, 1) // bucket) * bucket)
-    return wave, shift2, truncated, tokens[:, :k], small_h
+        kmax = int(small_h[0, : len(wave)].max()) if wave else 0
+        k = _round_cols(max(kmax, 1), tokens.shape[1], 4096)
+        return wave, shift2, truncated, ("raw", tokens[:, :k]), small_h
+    # Request only the columns in use — the device->host link is the
+    # scarce resource on tunneled backends. Literals pull as 1 byte,
+    # matches as 4, token order as a 1-bit bitmap.
+    bitmap, lit8, match32 = packed
+    n = len(wave)
+    counts = small_h[0, :n]
+    nlit = small_h[6, :n]
+    kmax = int(counts.max()) if n else 0
+    lk = _round_cols(int(nlit.max()) if n else 0, lit8.shape[1], 2048)
+    mk = _round_cols(int((counts - nlit).max()) if n else 0, match32.shape[1], 2048)
+    bk = _round_cols(-(-max(kmax, 1) // 32), bitmap.shape[1], 512)
+    return (
+        wave,
+        shift2,
+        truncated,
+        ("packed", bitmap[:, :bk], lit8[:, :lk], match32[:, :mk]),
+        small_h,
+    )
 
 
-def _apply_block_stages(wave, shift2, truncated, w, tokens, small, runner=None) -> None:
-    _apply_tokens(*_apply_small(wave, shift2, truncated, w, tokens, small, runner))
+def _apply_block_stages(wave, shift2, truncated, w, packed, small, runner=None) -> None:
+    _apply_tokens(*_apply_small(wave, shift2, truncated, w, packed, small, runner))
 
 
-def _apply_tokens(wave, shift2, truncated, tokens_sl, small_h) -> None:
+def _lane_tokens(payload, small_h, i: int, count: int) -> np.ndarray:
+    """Reconstruct lane i's int32 token stream from the pulled payload."""
+    if payload[0] == "raw":
+        return np.asarray(payload[1])[i, :count]
+    bm, lit8, match32 = (np.asarray(a) for a in payload[1:])
+    nl = int(small_h[6, i])
+    words = bm[i, : -(-count // 32)].astype(np.uint32)
+    bits = (
+        ((words[:, None] >> np.arange(32, dtype=np.uint32)) & 1)
+        .astype(bool)
+        .ravel()[:count]
+    )
+    tok = np.empty(count, np.int32)
+    tok[bits] = lit8[i, :nl].astype(np.int32)
+    tok[~bits] = match32[i, : count - nl]
+    return tok
+
+
+def _apply_tokens(wave, shift2, truncated, payload, small_h) -> None:
     counts_h, has_eob_h, eob_exit_h, err_h, total_h = small_h[:5]
-    tokens_h = np.asarray(tokens_sl)
 
     for i, st in enumerate(wave):
         # A window-truncated row can only produce spurious
@@ -1433,7 +1511,7 @@ def _apply_tokens(wave, shift2, truncated, tokens_sl, small_h) -> None:
             st.window *= 4
             continue
         if counts_h[i]:
-            st.tokens.append(tokens_h[i, : counts_h[i]])
+            st.tokens.append(_lane_tokens(payload, small_h, i, int(counts_h[i])))
             st.out_total += int(total_h[i])
         if err_h[i]:
             st.err = int(err_h[i])
@@ -1650,6 +1728,172 @@ def kernel_only_bench(data: bytes, *, lanes: int = V2_LANE_BATCH, reps: int = 4)
         "decode_gbps": round(isize_total / best / 1e9, 4),
         "payload_gbps": round(payload_total / best / 1e9, 4),
         "note": "device Huffman/token stages only; LZ77 resolve + link excluded",
+    }
+
+
+def kernel_only_bench_full(data: bytes, *, lanes: int = V2_LANE_BATCH, reps: int = 4) -> dict:
+    """Full-member device decode throughput: compressed bits -> FINAL
+    BYTES -> CRC, all on chip (stored members included as CRC lanes).
+
+    Extends :func:`kernel_only_bench` with the pieces the chip did not
+    previously own: after stages A-E + compaction, every member's token
+    stream resolves to output bytes on device (``resolve_pallas``:
+    expand + pointer-jumping one-hot gathers, ≙ the reference's
+    dictionary copy loop ``decomp/Open.java:589-617``) and each lane's
+    CRC-32 is computed by the int8 MXU matrix kernel (≙ the trailer
+    verify, ``GzipInputStream.java:75-87``). Stored members, excluded
+    from the Huffman-only figure, are counted here: their decode is an
+    on-device CRC over the staged payload bytes. Only the relay link
+    and the final byte pull stay outside the clock.
+
+    An untimed verification pass pulls every resolved lane and checks
+    bytes + conditioned CRCs against the member trailers.
+    """
+    import time
+
+    from . import decode_jax as dj
+    from . import resolve_pallas as rp
+    from ..kernels import checksum_jax as cj
+
+    try:
+        from .. import native as _native
+
+        gz = _native.compress_members_native(data)
+    except Exception:
+        from .profile import profile_compress_host
+
+        gz = profile_compress_host(data)
+    buf = np.frombuffer(gz, dtype=np.uint8)
+    members = dj.split_members(buf)
+    huff, stored = [], []
+    for m in members:
+        btype = (int(buf[m.payload_start]) >> 1) & 3 if m.payload_start < buf.size else 0
+        (stored if btype == 0 else huff).append(m)
+    payloads = [buf[m.payload_start : m.end - 8].tobytes() for m in huff]
+    isize_total = int(sum(m.isize for m in members))
+    N = rp.N_POS
+    assert all(m.isize <= N for m in members), "profile members exceed resolve space"
+
+    run = _run_wave_pallas if _use_pallas() else _run_wave_unfused
+    buckets = _p_buckets()
+    k1s = (
+        _k1_groups(payloads, [0] * len(payloads)) if _use_pallas() else [0] * len(payloads)
+    )
+    bygroup: dict[tuple[int, int], list[bytes]] = {}
+    for p, k1 in zip(payloads, k1s):
+        bygroup.setdefault((_bucket(len(p), buckets), k1), []).append(p)
+    waves = []
+    for (P, _k1), grp in sorted(bygroup.items()):
+        lmax = min(lanes, _lane_cap(P, 1))
+        for base in range(0, len(grp), lmax):
+            chunk = grp[base : base + lmax]
+            w = _prep_wave(chunk, _bucket(len(chunk), V2_L_BUCKETS), buckets=buckets)
+            w["_n_real"] = len(chunk)
+            waves.append(
+                {k: v if k.startswith("_") else jax.device_put(jnp.asarray(v)) for k, v in w.items()}
+            )
+    # Stored members: stage the raw payload bytes (their whole decode is
+    # a bounds-checked copy + CRC; the copy is the staging we exclude,
+    # the CRC is on the clock).
+    stored_rows = np.zeros((max(len(stored), 1), N), np.uint8)
+    stored_lens = np.zeros(max(len(stored), 1), np.int64)
+    for i, m in enumerate(stored):
+        out = dj._decode_stored_member(buf, m, verify_crc=False)
+        stored_rows[i, : out.size] = out
+        stored_lens[i] = out.size
+    stored_d = jax.device_put(jnp.asarray(stored_rows.astype(np.int32)))
+    K8, lvl8 = cj.crc_matrices8(N // cj.CHUNK_BYTES)
+
+    force = sum(jnp.sum(w["grid"].astype(jnp.int32)) for w in waves) + jnp.sum(stored_d)
+    np.asarray(force)
+
+    RB = 256  # resolve/CRC lane batch
+
+    def pad_to_n(tokens):
+        L, M = tokens.shape
+        if M >= N:
+            return tokens[:, :N]
+        return jnp.pad(tokens, ((0, 0), (0, N - M)), constant_values=-1)
+
+    def run_pass(collect: bool = False):
+        acc = jnp.zeros((), jnp.uint32)
+        toks = [pad_to_n(run(w)[0]) for w in waves]
+        T = jnp.concatenate(toks, axis=0) if toks else jnp.zeros((0, N), jnp.int32)
+        out = []
+        for base in range(0, T.shape[0], RB):
+            chunk = T[base : base + RB]
+            if chunk.shape[0] < RB:
+                chunk = jnp.pad(chunk, ((0, RB - chunk.shape[0]), (0, 0)), constant_values=-1)
+            y, summ, rounds, unres = rp.resolve_tokens_device(chunk)
+            raw = cj.crc32_lanes_raw8(y, K8, lvl8)
+            acc = acc + jnp.sum(raw) + jnp.sum(summ).astype(jnp.uint32)
+            acc = acc + rounds.astype(jnp.uint32) + unres.astype(jnp.uint32)
+            if collect:
+                out.append((y, summ, raw))
+        for base in range(0, stored_d.shape[0], RB):
+            raw_s = cj.crc32_lanes_raw8(stored_d[base : base + RB], K8, lvl8)
+            acc = acc + jnp.sum(raw_s)
+            if collect:
+                out.append((None, None, raw_s))
+        return (acc, out) if collect else acc
+
+    def run_n(n: int) -> float:
+        t0 = time.monotonic()
+        acc = jnp.zeros((), jnp.uint32)
+        for _ in range(n):
+            acc = acc + run_pass()
+        np.asarray(acc)
+        return time.monotonic() - t0
+
+    run_n(1)  # compile + warm
+    for _attempt in range(3):
+        t1 = min(run_n(1) for _ in range(reps))
+        t3 = min(run_n(3) for _ in range(reps))
+        if t3 > t1 * 1.5:
+            break
+    best = max((t3 - t1) / 2, t1 / 4, 1e-9)
+
+    # Untimed verification: resolved bytes + CRCs vs member trailers.
+    _acc, collected = run_pass(collect=True)
+    pay_to_member = {}
+    for m in huff:
+        pay_to_member.setdefault(buf[m.payload_start : m.end - 8].tobytes(), []).append(m)
+    verified = 0
+    mism = 0
+    lane_ptr = 0
+    ys = [c for c in collected if c[0] is not None]
+    for (P, _k1), grp in sorted(bygroup.items()):
+        lmax = min(lanes, _lane_cap(P, 1))
+        for base in range(0, len(grp), lmax):
+            chunk = grp[base : base + lmax]
+            L_b = _bucket(len(chunk), V2_L_BUCKETS)
+            for i, pbytes in enumerate(chunk):
+                gi = lane_ptr + i
+                y, summ, raw = ys[gi // RB]
+                li = gi % RB
+                m = pay_to_member[pbytes][0]
+                total = int(np.asarray(summ[li, 1]))
+                crc = cj.crc32_finish_leftaligned(
+                    np.asarray(raw[li : li + 1]), np.array([total]), N
+                )[0]
+                if total != m.isize or int(crc) != m.crc32:
+                    mism += 1
+                else:
+                    verified += 1
+            lane_ptr += L_b
+    payload_total = sum(len(p) for p in payloads)
+    return {
+        "decode_gbps": round(isize_total / best / 1e9, 4),
+        "decode_gbps_single_pass": round(isize_total / t1 / 1e9, 4),
+        "uncompressed_mb": round(isize_total / 2**20, 1),
+        "members": len(members),
+        "huff_members": len(huff),
+        "stored_members": len(stored),
+        "waves": len(waves),
+        "payload_mb": round(payload_total / 2**20, 1),
+        "verified_members": verified,
+        "crc_or_size_mismatches": mism,
+        "note": "bits->bytes->CRC on device (A-E + compaction + LZ77 resolve + CRC); link and final byte pull excluded",
     }
 
 

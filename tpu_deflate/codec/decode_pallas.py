@@ -602,6 +602,86 @@ def compact_flat_pallas(
     return _compact_flat_jit(tok, lit_planes, interpret=interpret)
 
 
+def _compact_any_kernel(t_ref, out_ref):
+    """Front-compact one lane's non-negative entries in VMEM.
+
+    Generic variant of :func:`_compact_flat_kernel` (no literal-rank
+    mapping): t_ref/out_ref (1, R, 128) int32 flattening a length
+    M = R*128 array row-major, -1 = invalid. Used by the packed token
+    pull (literal / match stream split) so the split costs two VMEM
+    kernels instead of ~17 HBM-round-trip move rounds each.
+    """
+    x = t_ref[0]  # (R, 128)
+    R = x.shape[0]
+    M = R * 128
+    INV = jnp.int32(-0x80000000)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    pos = row * 128 + lane
+
+    def read_fwd(arr, s, fill):
+        if s % 128 == 0:
+            a = pltpu.roll(arr, shift=(R - s // 128) % R, axis=0)
+        else:
+            a = pltpu.roll(arr, shift=128 - s, axis=1)
+            b = pltpu.roll(a, shift=R - 1, axis=0)
+            a = jnp.where(lane >= 128 - s, b, a)
+        return jnp.where(pos < M - s, a, fill)
+
+    def read_back(arr, s, fill):
+        if s % 128 == 0:
+            a = pltpu.roll(arr, shift=s // 128, axis=0)
+        else:
+            a = pltpu.roll(arr, shift=s, axis=1)
+            b = pltpu.roll(a, shift=1, axis=0)
+            a = jnp.where(lane < s, b, a)
+        return jnp.where(pos >= s, a, fill)
+
+    c = (x >= 0).astype(jnp.int32)
+    s = 1
+    while s < M:
+        c = c + read_back(c, s, 0)
+        s *= 2
+    rank = c - 1
+    disp = jnp.where(x >= 0, pos - rank, INV)
+    tok = x
+    s = 1
+    while s < M:
+        d_r = read_fwd(disp, s, INV)
+        t_r = read_fwd(tok, s, -1)
+        take = (d_r & s) != 0
+        self_mv = (disp & s) != 0
+        disp = jnp.where(take, d_r - s, jnp.where(self_mv, INV, disp))
+        tok = jnp.where(take, t_r, tok)
+        s *= 2
+    out_ref[0] = jnp.where(disp == 0, tok, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _compact_any_jit(tok: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    L, M = tok.shape
+    assert M % 128 == 0
+    R = M // 128
+    out = pl.pallas_call(
+        _compact_any_kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, R, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, R, 128), jnp.int32),
+        interpret=interpret,
+    )(tok.reshape(L, R, 128))
+    return out.reshape(L, M)
+
+
+def compact_any_pallas(tok: jnp.ndarray, *, interpret: bool | None = None) -> jnp.ndarray:
+    """Front-compact non-negative entries of (L, M) int32, -1 padding."""
+    if interpret is None:
+        interpret = _interpret_default()
+    return _compact_any_jit(tok, interpret=interpret)
+
+
 # ---------------------------------------------------------------------------
 # Host-facing wrappers
 # ---------------------------------------------------------------------------

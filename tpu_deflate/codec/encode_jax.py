@@ -123,8 +123,19 @@ def _u32_windows(data: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _match_find(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool):
+# Effort ladder for the device matcher (≙ the host preset mapping of the
+# reference ladder, comp/Lz77Huffman.java:298-305): quality selects the
+# candidate count K and the exact-compare word caps per hash family.
+# Wider settings cost more sorted-space word pre-gathers per batch.
+_QUALITY = {
+    0: dict(K4=16, W4=9, K3=2, W3=2),  # default (effort 2)
+    1: dict(K4=24, W4=16, K3=4, W3=2),  # effort >= 3: 64-byte compares
+}
+
+
+def _match_find(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool, quality: int = 0):
     """Shared match-find front half: data -> (use, dist, step, valid)."""
+    q = _QUALITY[quality]
     L, S = data.shape
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
     valid = pos < lengths[:, None]
@@ -231,8 +242,8 @@ def _match_find(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool):
         jnp.int32
     )
     h3 = jnp.where(valid, h3, -1)
-    q1 = bucket_best(h4, K_CANDIDATES, MATCH_WORDS)
-    q3 = bucket_best(h3, 2, 2)
+    q1 = bucket_best(h4, q["K4"], q["W4"])
+    q3 = bucket_best(h3, q["K3"], q["W3"])
 
     limit = jnp.minimum(258, lengths[:, None] - idx)
 
@@ -341,8 +352,10 @@ def _finish_analysis(data, use, dist, is_token):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("lazy",))
-def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
+@functools.partial(jax.jit, static_argnames=("lazy", "quality"))
+def analyze_device(
+    data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True, quality: int = 0
+):
     """Match-find + parse + histogram for a batch of members (one jit).
 
     data: (L, S) uint8 (zero-padded rows), lengths: (L,) int32.
@@ -353,7 +366,7 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
     4 MiB batch.
     """
     L, S = data.shape
-    use, dist, step, valid = _match_find(data, lengths, lazy)
+    use, dist, step, valid = _match_find(data, lengths, lazy, quality)
     idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (L, S))
     lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
     nxt = jnp.minimum(idx + step, S)
@@ -370,8 +383,10 @@ def analyze_device(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
     return _finish_analysis(data, use, dist, is_token)
 
 
-@functools.partial(jax.jit, static_argnames=("lazy",))
-def analyze_phase1(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
+@functools.partial(jax.jit, static_argnames=("lazy", "quality"))
+def analyze_phase1(
+    data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True, quality: int = 0
+):
     """Device phase 1: match find + pallas per-tile parse transfer maps.
 
     The cross-tile chain walk (NT scalar steps per lane) happens on the
@@ -379,7 +394,7 @@ def analyze_phase1(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True):
     """
     from . import parse_pallas as pp
 
-    use, dist, step, valid = _match_find(data, lengths, lazy)
+    use, dist, step, valid = _match_find(data, lengths, lazy, quality)
     tiles = pp.step_tiles(step)
     transfers = pp.parse_transfers(tiles)
     return {"use": use, "dist": dist, "tiles": tiles, "valid": valid,
@@ -645,8 +660,14 @@ def _build_headers(litlen_lengths: np.ndarray, dist_lengths: np.ndarray):
     return vals, bits
 
 
-def compress_members_tpu(data: bytes, *, lazy: bool = True) -> bytes:
+def compress_members_tpu(data: bytes, *, lazy: bool | None = None, effort: int = 2) -> bytes:
     """Encode ``data`` as a TPU-profile multi-member gzip stream.
+
+    ``effort`` maps to device-matcher knobs, mirroring the host preset
+    ladder (≙ ``comp/Lz77Huffman.java:298-305``): <=1 greedy parse
+    (no lazy deferral), 2 lazy parse with the default candidate set,
+    >=3 lazy parse with the widened candidate set (K=24, 64-byte exact
+    compares). Explicit ``lazy`` overrides the mapping.
 
     The three encode stages run as a software pipeline over lane
     batches (the PP analog of SURVEY.md §2.1 row 2, ≙ the reference's
@@ -663,15 +684,22 @@ def compress_members_tpu(data: bytes, *, lazy: bool = True) -> bytes:
         from .profile import _empty_member
 
         return _empty_member()
+    if lazy is None:
+        lazy = effort >= 2
+    quality = 1 if effort >= 3 else 0
     buf = np.frombuffer(data, dtype=np.uint8)
     step = ENC_LANE_BATCH * MEMBER_DATA
     chunks = [buf[base : base + step] for base in range(0, n, step)]
     out = bytearray()
-    pend = _dispatch_analyze(chunks[0], lazy)
+    pend = _dispatch_analyze(chunks[0], lazy, quality)
     ready = None
     for i in range(len(chunks)):
         cur = pend
-        pend = _dispatch_analyze(chunks[i + 1], lazy) if i + 1 < len(chunks) else None
+        pend = (
+            _dispatch_analyze(chunks[i + 1], lazy, quality)
+            if i + 1 < len(chunks)
+            else None
+        )
         em = _plan_and_emit(cur)
         if ready is not None:
             out += _assemble_members(ready)
@@ -680,7 +708,7 @@ def compress_members_tpu(data: bytes, *, lazy: bool = True) -> bytes:
     return bytes(out)
 
 
-def _dispatch_analyze(chunk: np.ndarray, lazy: bool):
+def _dispatch_analyze(chunk: np.ndarray, lazy: bool, quality: int = 0):
     """Stage 1: pad one lane batch and issue the analyze kernel."""
     n = chunk.size
     L_real = -(-n // MEMBER_DATA)
@@ -698,14 +726,14 @@ def _dispatch_analyze(chunk: np.ndarray, lazy: bool):
 
     if pp.parse_available() and MEMBER_DATA % (512 * 128) == 0:
         dd = jnp.asarray(padded)
-        p1 = analyze_phase1(dd, jnp.asarray(lengths), lazy)
+        p1 = analyze_phase1(dd, jnp.asarray(lengths), lazy, quality)
         try:
             p1["transfers"].copy_to_host_async()
         except Exception:
             pass
         a = ("phase1", dd, p1)
     else:
-        a = analyze_device(jnp.asarray(padded), jnp.asarray(lengths), lazy)
+        a = analyze_device(jnp.asarray(padded), jnp.asarray(lengths), lazy, quality)
     return a, padded, lengths, L, L_real
 
 

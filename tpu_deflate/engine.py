@@ -102,7 +102,7 @@ def compress(
     if engine == "tpu":
         from .codec.encode_jax import compress_members_tpu
 
-        return _prepend_metadata(compress_members_tpu(data), metadata)
+        return _prepend_metadata(compress_members_tpu(data, effort=effort), metadata)
     import tpu_deflate as td
 
     return td.gzip_compress(data, effort=effort, metadata=metadata)

@@ -104,6 +104,55 @@ def op_shift_n_bits(n: int) -> np.ndarray:
     return result
 
 
+def op_invert(op: np.ndarray) -> np.ndarray:
+    """Inverse of a GF(2) operator (32x32 bit matrix, column j = op[j]).
+
+    Gaussian elimination over GF(2); every CRC shift operator is
+    invertible (L is a companion matrix of the primitive polynomial).
+    """
+    # Rows of [M | I] packed as 64-bit ints: low 32 = M row, high 32 = I.
+    rows = []
+    for i in range(32):
+        m = 0
+        for j in range(32):
+            m |= ((int(op[j]) >> i) & 1) << j
+        rows.append(m | (1 << (32 + i)))
+    for col in range(32):
+        piv = next(r for r in range(col, 32) if (rows[r] >> col) & 1)
+        rows[col], rows[piv] = rows[piv], rows[col]
+        for r in range(32):
+            if r != col and (rows[r] >> col) & 1:
+                rows[r] ^= rows[col]
+    inv = np.zeros(32, dtype=np.uint32)
+    for i in range(32):
+        hi = rows[i] >> 32
+        for j in range(32):
+            if (hi >> j) & 1:
+                inv[j] |= np.uint32(1 << i)
+    return inv
+
+
+@functools.lru_cache(maxsize=None)
+def _op_unshift_pow2(k: int) -> np.ndarray:
+    """L^(-2^k): rewind the register by 2^k zero bits."""
+    if k == 0:
+        return op_invert(_op_shift1())
+    half = _op_unshift_pow2(k - 1)
+    return op_compose(half, half)
+
+
+def op_unshift_n_bits(n: int) -> np.ndarray:
+    """L^-n: undo n appended zero bits (left-aligned lane CRC fix-up)."""
+    result = _op_identity()
+    k = 0
+    while n:
+        if n & 1:
+            result = op_compose(_op_unshift_pow2(k), result)
+        n >>= 1
+        k += 1
+    return result
+
+
 def crc32_combine(crc_a: int, crc_b: int, len_b: int) -> int:
     """CRC of the concatenation A||B given crc32(A), crc32(B), len(B).
 

@@ -32,13 +32,19 @@ from bench import make_corpus  # noqa: E402
 
 
 def best_of(fn, n=3):
+    """(first_call_s, best_warm_s): the first call carries compilation
+    of every wave/mesh shape; the best-of-n that follows is the
+    steady-state number. Reporting both separates one-time shard_map
+    compile cost from per-call partition overhead."""
+    t0 = time.monotonic()
     fn()
+    first = time.monotonic() - t0
     best = float("inf")
     for _ in range(n):
         t0 = time.monotonic()
         fn()
         best = min(best, time.monotonic() - t0)
-    return best
+    return first, best
 
 
 def main() -> None:
@@ -54,22 +60,31 @@ def main() -> None:
     base = None
     for d in (1, 2, 4, 8):
         mesh = make_codec_mesh(d)
-        t = best_of(lambda: sharded_continuous_compress(data, mesh, max_chain=128))
+        tc, t = best_of(lambda: sharded_continuous_compress(data, mesh, max_chain=128))
         rate = mb / t
         if base is None:
             base = rate
         eff = rate / (base * d) * 100
-        print(f"continuous encode D={d}: {t*1e3:7.1f} ms  {rate:6.1f} MB/s  eff {eff:5.1f}%")
+        print(
+            f"continuous encode D={d}: {t*1e3:7.1f} ms  {rate:6.1f} MB/s  "
+            f"eff {eff:5.1f}%  (first call {tc*1e3:.0f} ms incl. compile)"
+        )
 
     # Sharded device decode (v2 stages lane-sharded over the mesh).
     gz = compress(data, engine="native")
-    t1 = best_of(lambda: decompress(gz, engine="tpu"))
-    print(f"device decode single: {t1*1e3:7.1f} ms  {mb/t1:6.1f} MB/s")
+    tc1, t1 = best_of(lambda: decompress(gz, engine="tpu"))
+    print(
+        f"device decode single: {t1*1e3:7.1f} ms  {mb/t1:6.1f} MB/s  "
+        f"(first call {tc1*1e3:.0f} ms incl. compile)"
+    )
     for d in (2, 4, 8):
         mesh = make_codec_mesh(d)
-        t = best_of(lambda: decompress(gz, mesh=mesh))
+        tc, t = best_of(lambda: decompress(gz, mesh=mesh))
         over = (t / t1 - 1) * 100
-        print(f"device decode D={d}: {t*1e3:7.1f} ms  {mb/t:6.1f} MB/s  overhead vs single {over:+5.1f}%")
+        print(
+            f"device decode D={d}: {t*1e3:7.1f} ms  {mb/t:6.1f} MB/s  "
+            f"overhead vs single {over:+5.1f}%  (first call {tc*1e3:.0f} ms incl. compile)"
+        )
 
 
 if __name__ == "__main__":

@@ -1817,7 +1817,9 @@ def kernel_only_bench_full(data: bytes, *, lanes: int = V2_LANE_BATCH, reps: int
 
     def run_pass(collect: bool = False):
         acc = jnp.zeros((), jnp.uint32)
-        toks = [pad_to_n(run(w)[0]) for w in waves]
+        # Only real lanes enter the resolve batches: wave padding lanes
+        # would otherwise multiply the expand/jump volume ~2.5x.
+        toks = [pad_to_n(run(w)[0])[: w["_n_real"]] for w in waves]
         T = jnp.concatenate(toks, axis=0) if toks else jnp.zeros((0, N), jnp.int32)
         out = []
         for base in range(0, T.shape[0], RB):
@@ -1866,7 +1868,6 @@ def kernel_only_bench_full(data: bytes, *, lanes: int = V2_LANE_BATCH, reps: int
         lmax = min(lanes, _lane_cap(P, 1))
         for base in range(0, len(grp), lmax):
             chunk = grp[base : base + lmax]
-            L_b = _bucket(len(chunk), V2_L_BUCKETS)
             for i, pbytes in enumerate(chunk):
                 gi = lane_ptr + i
                 y, summ, raw = ys[gi // RB]
@@ -1880,7 +1881,7 @@ def kernel_only_bench_full(data: bytes, *, lanes: int = V2_LANE_BATCH, reps: int
                     mism += 1
                 else:
                     verified += 1
-            lane_ptr += L_b
+            lane_ptr += len(chunk)
     payload_total = sum(len(p) for p in payloads)
     return {
         "decode_gbps": round(isize_total / best / 1e9, 4),

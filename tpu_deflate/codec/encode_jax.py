@@ -162,20 +162,32 @@ def _match_find(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool, quality: in
 
     def bucket_best(h, K, nwords):
         """Best (match-len, candidate-pos) per position, via sorted
-        space; returns it scattered back to position order.
+        space; returns it in position order.
 
-        ``nwords`` pre-gathered window words (offsets 0, 4, .., 4*(n-1))
-        bound the exact prefix compare at 4*nwords bytes — the dynamic
-        per-candidate extension gathers of the old design (one gather =
-        ~67 ms on this backend, ~30 rounds of 4) are gone entirely;
-        matches longer than the cap fragment into chained tokens whose
-        follow-up candidates the same bucket supplies, and exact long
-        runs at dist <= 4 come from the arithmetic RLE lanes.
+        One multi-operand ``lax.sort`` (key = hash, payload = original
+        index + the ``nwords`` window words) replaces the old argsort +
+        per-word ``take_along_axis`` round — dynamic gathers run ~16 ns/
+        element on this backend while the sort network carries payloads
+        at ~10x that rate (measured: 11-operand sort 46 ms vs argsort +
+        11 gathers 477 ms at (64, 64K)). The exact prefix compare is
+        bounded at 4*nwords bytes; longer matches fragment into chained
+        tokens, and exact long runs at dist <= 4 come from the
+        arithmetic RLE lanes. A second 2-operand sort (key = original
+        index) replaces the scatter back to position order.
         """
         cap = 4 * nwords
-        order = jnp.argsort(h, axis=1, stable=True).astype(jnp.int32)
-        sorted_h = jnp.take_along_axis(h, order, axis=1)
         si = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (L, S))
+        words = [
+            jnp.concatenate([w32[:, 4 * j :], jnp.zeros((L, 4 * j), jnp.uint32)], axis=1)
+            if j
+            else w32
+            for j in range(nwords)
+        ]
+        srt = jax.lax.sort(
+            (h, si) + tuple(words), dimension=1, is_stable=True, num_keys=1
+        )
+        sorted_h, order = srt[0], srt[1]
+        sw = list(srt[2:])
         changed = jnp.concatenate(
             [jnp.ones((L, 1), bool), sorted_h[:, 1:] != sorted_h[:, :-1]], axis=1
         )
@@ -183,18 +195,6 @@ def _match_find(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool, quality: in
             jnp.maximum, jnp.where(changed, si, -1), axis=1
         )
         rank = si - group_first
-        sw = [
-            jnp.take_along_axis(
-                jnp.concatenate(
-                    [w32[:, 4 * j :], jnp.zeros((L, 4 * j), jnp.uint32)], axis=1
-                )
-                if j
-                else w32,
-                order,
-                axis=1,
-            )
-            for j in range(nwords)
-        ]
         live = sorted_h != -1
 
         def word_eqlen(x):
@@ -228,9 +228,10 @@ def _match_find(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool, quality: in
             better = lc > blen
             blen = jnp.where(better, lc, blen)
             bcand = jnp.where(better, cand, bcand)
-        # Pack (len 6b | cand+1 17b) and return to position order.
+        # Pack (len 6b | cand+1 17b) and sort back to position order
+        # (key = original index; cheaper than a (L, S) scatter here).
         p1 = ((bcand + 1) | (jnp.minimum(blen, cap) << 18)).astype(jnp.int32)
-        o1 = jnp.zeros((L, S), jnp.int32).at[lanes, order].set(p1)
+        _, o1 = jax.lax.sort((order, p1), dimension=1, is_stable=False, num_keys=1)
         return o1
 
     h4 = ((w32 * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
@@ -708,6 +709,19 @@ def compress_members_tpu(data: bytes, *, lazy: bool | None = None, effort: int =
     return bytes(out)
 
 
+def _host_crc32(data: np.ndarray) -> int:
+    """Member trailer CRC on host: native C when built (the NumPy table
+    kernel was a visible slice of encode wall time)."""
+    try:
+        from .. import native
+
+        if native.available():
+            return native.crc32(data.tobytes())
+    except Exception:
+        pass
+    return crc32(data)
+
+
 def _dispatch_analyze(chunk: np.ndarray, lazy: bool, quality: int = 0):
     """Stage 1: pad one lane batch and issue the analyze kernel."""
     n = chunk.size
@@ -823,7 +837,9 @@ def _plan_and_emit(pend):
         eb,
     )
     try:
-        words.copy_to_host_async()
+        # words is pulled SLICED in _assemble_members (the fixed
+        # worst-case width is ~4x the real compressed bits; on the
+        # ~10 MB/s relay link the unsliced pull dominated encode time).
         total_bits.copy_to_host_async()
         choice.copy_to_host_async()
     except Exception:
@@ -834,8 +850,9 @@ def _plan_and_emit(pend):
 def _assemble_members(em) -> bytes:
     """Stage 3: pull emitted words, frame members on host."""
     words, total_bits, choice, padded, lengths, L_real = em
-    words = np.asarray(words)
     total_bits = np.asarray(total_bits)
+    mw = min(words.shape[1], -(-int(total_bits[:L_real].max()) // 32 // 512) * 512 or 512)
+    words = np.asarray(words[:, :mw])
     choice = np.asarray(choice)
     L = words.shape[0]
 
@@ -859,7 +876,7 @@ def _assemble_members(em) -> bytes:
     for l in range(L_real):
         ln = int(lengths[l])
         member_data = padded[l, :ln]
-        crc = int(crcs[l]) if crcs is not None else crc32(member_data)
+        crc = int(crcs[l]) if crcs is not None else _host_crc32(member_data)
         nbytes = (int(total_bits[l]) + 7) // 8
         stored_cost = ln + 5 * (-(-ln // 65535)) + 1
         # Device-routed choice (route_strategies); the emitted-size check

@@ -106,80 +106,6 @@ def resolve_reference(tokens: np.ndarray) -> bytes:
     return bytes(out)
 
 
-# ---------------------------------------------------------------------------
-# Pallas gather kernel: y[idx] + resolved[idx] via MXU one-hot
-# ---------------------------------------------------------------------------
-
-
-def _oh_gather(idx_2d, a_bits: int, tbl):
-    """Batched one-hot gather core: idx (R, 128) int32 row indices in
-    [0, 2**a_bits) x column [0, 128); tbl (2**a_bits, 128) int8.
-    Returns tbl[idx >> 7, idx & 127] + 128 as (R, 128) int32. 3-D
-    batched layout throughout — no trailing-1 shapes (Mosaic pads a
-    minor dim of 1 to the 128-lane tile, 128x the HBM footprint)."""
-    R = idx_2d.shape[0]
-    A = 1 << a_bits
-    a = idx_2d >> 7
-    c = idx_2d & 127
-    iota_a = jax.lax.broadcasted_iota(jnp.int32, (R, 128, A), 2)
-    oh_a = (iota_a == a[:, :, None]).astype(jnp.int8)
-    r = jax.lax.dot_general(
-        oh_a, tbl, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )  # (R, 128, 128)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (R, 128, 128), 2)
-    return jnp.sum(jnp.where(iota_c == c[:, :, None], r, 0), axis=2) + 128
-
-
-def _gather_kernel(tbl_ref, res_ref, idx_ref, out_ref):
-    """One (lane, request-chunk) block of the MXU one-hot gather.
-
-    tbl_ref (1, 512, 128) int8: lane's byte table biased by -128;
-    position p lives at [p >> 7, p & 127].
-    res_ref (1, 64, 128) int8: resolved bitmask bytes biased by -128;
-    the byte covering p is bit (p & 7) of [(p>>3) >> 7, (p>>3) & 127].
-    idx_ref (1, GCHUNK, 128) int32: request positions, -1 inactive.
-    out_ref (1, GCHUNK, 128) int32: byte | resolved << 8 (-1 inactive).
-    """
-    idx = idx_ref[0]  # (GCHUNK, 128)
-    active = idx >= 0
-
-    @pl.when(jnp.any(active))
-    def _():
-        m = jnp.where(active, idx, 0)
-        byte = _oh_gather(m, 9, tbl_ref[0])
-        rbyte = _oh_gather(m >> 3, 6, res_ref[0])
-        rbit = (rbyte >> (m & 7)) & 1
-        out_ref[0] = jnp.where(active, byte | (rbit << 8), -1)
-
-    @pl.when(jnp.logical_not(jnp.any(active)))
-    def _():
-        out_ref[0] = jnp.full((GCHUNK, 128), -1, jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _gather_jit(tbl8, res8, idx, *, interpret: bool = False):
-    """tbl8 (L, 512, 128) int8; res8 (L, 64, 128) int8; idx (L, M) int32
-    -> (L, M) int32 byte | resolved<<8 (or -1)."""
-    L, M = idx.shape
-    B = GCHUNK * 128
-    assert M % B == 0
-    out = pl.pallas_call(
-        _gather_kernel,
-        grid=(L, M // B),
-        in_specs=[
-            pl.BlockSpec((1, 512, 128), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64, 128), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GCHUNK, 128), lambda l, t: (l, t, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, GCHUNK, 128), lambda l, t: (l, t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((L, M // 128, 128), jnp.int32),
-        interpret=interpret,
-    )(tbl8, res8, idx.reshape(L, M // 128, 128))
-    return out.reshape(L, M)
-
-
 def _interpret_default() -> bool:
     try:
         return jax.devices()[0].platform not in ("tpu", "axon")
@@ -221,6 +147,20 @@ def _expand_kernel(tok_ref, y0_ref, src_ref, sum_ref):
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     pos = row * 128 + lane
 
+    # Empty (padding) lanes skip the ~80 scan/move rounds entirely.
+    @pl.when(jnp.logical_not(jnp.any(x >= 0)))
+    def _():
+        y0_ref[0] = jnp.zeros(x.shape, jnp.int32)
+        src_ref[0] = pos
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        sum_ref[0] = jnp.where(rows8 == 0, M, 0)
+
+    @pl.when(jnp.any(x >= 0))
+    def _body():
+        _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref)
+
+
+def _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref):
     def read_fwd(arr, s, fill):
         """out[p] = arr[p + s] in flattened row-major order."""
         if s % 128 == 0:
@@ -349,46 +289,130 @@ def expand_device(tokens, *, interpret: bool | None = None):
 
 
 # ---------------------------------------------------------------------------
-# Pallas jump kernel: src[idx] (16-bit) + resolved[idx] via MXU one-hot
+# Step kernels: one f32-packed gather per pointer-jump round
 # ---------------------------------------------------------------------------
+#
+# Per-round state at every position q is packed into ONE f32 table entry
+# (exact: < 2^18, well inside f32's 24-bit integer range):
+# resolved(q) ? 0x20000 + y(q) : src(q). A round then
+# needs a single one-hot MXU gather at q = src(p): if resolved(q), p
+# commits value y(q) and becomes resolved itself (the resolved set GROWS
+# round over round, so chains retire from the front while jumping doubles
+# from the back); otherwise src(p) <- src(q). Construction + compare
+# volume is the measured cost (the VPU runs near peak), so the common
+# case uses a NEAR kernel whose table window is the 4 16-row blocks at
+# and before the request block (sources within ~6 KiB — the bulk of
+# DEFLATE distances and of early jump compositions, 8x less compare
+# volume); requests pointing further return a FAR sentinel and re-run
+# through the full-table kernel (chunk-skipped; rare in practice).
+
+_FAR = -2
+_NROWS = 16  # request block rows (2048 requests) = one 16-row table block
+_NWIN = 4  # near window: this + previous 3 table blocks
 
 
-def _jump_kernel(lo_ref, hi_ref, res_ref, idx_ref, out_ref):
-    """Pointer-jumping gather: src[idx] | resolved(idx) << 16.
+_RESV = 0x20000  # packed-entry offset marking a resolved position's byte
 
-    lo_ref/hi_ref (1, 512, 128) int8: low/high bytes of the 16-bit src
-    table, biased -128; res_ref (1, 64, 128) int8 resolved bitmask
-    bytes; idx_ref/out_ref (1, GCHUNK, 128) int32 (-1 inactive).
-    """
+
+def _step_gather(win, ws_pos, m, active):
+    """Gather packed entries for requests m from window ``win`` (W, 128)
+    f32 whose row 0 is global table row ws_pos/128. Returns int32
+    packed entries, -1 where inactive/out-of-window."""
+    W = win.shape[0]
+    R = m.shape[0]
+    a = (m >> 7) - (ws_pos >> 7)
+    c = m & 127
+    in_win = active & (a >= 0) & (a < W)
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (R, 128, W), 2)
+    oh = jnp.where(iota_a == a[:, :, None], jnp.float32(1), jnp.float32(0))
+    # Precision.HIGHEST: TPU f32 matmuls default to bf16 passes, which
+    # would truncate the packed integer entries to ~8 mantissa bits.
+    r = jax.lax.dot_general(
+        oh,
+        win,
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (R, 128, 128)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (R, 128, 128), 2)
+    sel = jnp.sum(jnp.where(iota_c == c[:, :, None], r, 0.0), axis=2)
+    return jnp.where(in_win, sel.astype(jnp.int32), -1)
+
+
+def _near_kernel(idx_ref, t0_ref, t1_ref, t2_ref, t3_ref, out_ref):
+    """Near-window step: requests (1, 16, 128); window = the contiguous
+    4 table blocks starting at max(t-3, 0) — covers [window_start,
+    window_start + 8192) which always contains [t*2048 - 6144, block
+    end). Far requests -> _FAR."""
+    t = pl.program_id(1)
+    idx = idx_ref[0]
+    active = idx >= 0
+
+    @pl.when(jnp.any(active))
+    def _():
+        win = jnp.concatenate([t0_ref[0], t1_ref[0], t2_ref[0], t3_ref[0]], axis=0)
+        m = jnp.where(active, idx, 0)
+        ws = jnp.maximum(t - (_NWIN - 1), 0) * (_NROWS * 128)
+        g = _step_gather(win, ws, m, active)
+        out_ref[0] = jnp.where(active, jnp.where(g >= 0, g, _FAR), -1)
+
+    @pl.when(jnp.logical_not(jnp.any(active)))
+    def _():
+        out_ref[0] = jnp.full(idx.shape, -1, jnp.int32)
+
+
+def _far_kernel(tbl_ref, idx_ref, out_ref):
+    """Full-table step for requests outside the near window."""
     idx = idx_ref[0]
     active = idx >= 0
 
     @pl.when(jnp.any(active))
     def _():
         m = jnp.where(active, idx, 0)
-        lo = _oh_gather(m, 9, lo_ref[0])
-        hi = _oh_gather(m, 9, hi_ref[0])
-        rbyte = _oh_gather(m >> 3, 6, res_ref[0])
-        rbit = (rbyte >> (m & 7)) & 1
-        out_ref[0] = jnp.where(active, lo | (hi << 8) | (rbit << 16), -1)
+        out_ref[0] = _step_gather(tbl_ref[0], 0, m, active)
 
     @pl.when(jnp.logical_not(jnp.any(active)))
     def _():
-        out_ref[0] = jnp.full((GCHUNK, 128), -1, jnp.int32)
+        out_ref[0] = jnp.full(idx.shape, -1, jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _jump_jit(lo8, hi8, res8, idx, *, interpret: bool = False):
+def _near_jit(tblf, idx, *, interpret: bool = False):
+    L, M = idx.shape
+    NB = M // (_NROWS * 128)
+
+    def tmap(k):
+        # contiguous window: blocks [max(t-3,0)+k for k in 0..3]
+        return lambda l, t: (l, jnp.maximum(t - (_NWIN - 1), 0) + k, 0)
+
+    out = pl.pallas_call(
+        _near_kernel,
+        grid=(L, NB),
+        in_specs=[
+            pl.BlockSpec((1, _NROWS, 128), lambda l, t: (l, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NROWS, 128), tmap(0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NROWS, 128), tmap(1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NROWS, 128), tmap(2), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NROWS, 128), tmap(3), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _NROWS, 128), lambda l, t: (l, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, M // 128, 128), jnp.int32),
+        interpret=interpret,
+    )(idx.reshape(L, M // 128, 128), tblf, tblf, tblf, tblf)
+    return out.reshape(L, M)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _far_jit(tblf, idx, *, interpret: bool = False):
     L, M = idx.shape
     B = GCHUNK * 128
-    assert M % B == 0
     out = pl.pallas_call(
-        _jump_kernel,
+        _far_kernel,
         grid=(L, M // B),
         in_specs=[
             pl.BlockSpec((1, 512, 128), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 512, 128), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64, 128), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GCHUNK, 128), lambda l, t: (l, t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -396,69 +420,60 @@ def _jump_jit(lo8, hi8, res8, idx, *, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((L, M // 128, 128), jnp.int32),
         interpret=interpret,
-    )(lo8, hi8, res8, idx.reshape(L, M // 128, 128))
+    )(tblf, idx.reshape(L, M // 128, 128))
     return out.reshape(L, M)
 
 
 # ---------------------------------------------------------------------------
-# Resolve driver: pointer jumping to fixpoint (device-side while_loop)
+# Resolve driver: growing-front pointer jumping (device-side while_loop)
 # ---------------------------------------------------------------------------
 
 
-def _res_bytes8(res, L, N):
-    rbytes = jnp.sum(
-        res.reshape(L, N // 8, 8) << jnp.arange(8, dtype=jnp.int32)[None, None, :],
-        axis=2,
-    )
-    return (rbytes.reshape(L, 64, 128) - 128).astype(jnp.int8)
-
-
 @functools.partial(jax.jit, static_argnames=("max_rounds", "interpret"))
-def resolve_iterate(y0, src, *, max_rounds: int = 18, interpret: bool = False):
-    """Resolve by pointer jumping, then one final byte gather.
+def resolve_iterate(y0, src, *, max_rounds: int = 20, interpret: bool = False):
+    """Resolve by pointer jumping with a growing resolved front.
 
-    ``src`` is strictly decreasing along every chain (acyclic), so
-    ``src <- src[src]`` (frozen once src lands on a resolved position)
-    reaches a fixpoint in <= ceil(log2 depth) <= 17 rounds; chunks whose
-    requests are all frozen skip their matmuls, so late rounds cost only
-    the stragglers. One value gather then reads every final byte.
-    Returns (y (L, N) int32 bytes, rounds, unresolved).
+    y0/src (L, N) from :func:`expand_device`. Each round gathers the
+    packed (src | y<<16 | resolved<<24) table at every unresolved
+    position's current source: a resolved source commits its byte (and
+    the position joins the resolved set other chains gather from); an
+    unresolved one contributes its own source (jump doubling). ``src``
+    is strictly decreasing along chains, so <= ceil(log2 depth)+1
+    rounds converge. Returns (y, rounds, unresolved).
     """
     L, N = y0.shape
     res = (y0 >= 0).astype(jnp.int32)
-    y_init = jnp.where(y0 >= 0, y0, 0)
-    res8 = _res_bytes8(res, L, N)
-    unres = res == 0
+    y = jnp.where(y0 >= 0, y0, 0)
 
     def cond(carry):
-        src, srcres, n_prev, n, it = carry
-        # No progress test: a round can shorten chains without freezing
-        # any, but src is strictly decreasing along chains, so the
-        # fixpoint arrives within ceil(log2 depth) + 1 <= 18 rounds.
+        y, res, src, n, it = carry
         return (n > 0) & (it < max_rounds)
 
     def body(carry):
-        src, srcres, n_prev, n, it = carry
-        idx = jnp.where(unres & (srcres == 0), src, -1)
-        lo8 = ((src & 0xFF).reshape(L, 512, 128) - 128).astype(jnp.int8)
-        hi8 = ((src >> 8).reshape(L, 512, 128) - 128).astype(jnp.int8)
-        g = _jump_jit(lo8, hi8, res8, idx, interpret=interpret)
+        y, res, src, n, it = carry
+        tblf = (
+            jnp.where(res == 1, _RESV + y, src).astype(jnp.float32).reshape(L, 512, 128)
+        )
+        idx = jnp.where(res == 0, src, -1)
+        g = _near_jit(tblf, idx, interpret=interpret)
+        far_idx = jnp.where(g == _FAR, idx, -1)
+        g = jax.lax.cond(
+            jnp.any(far_idx >= 0),
+            lambda: jnp.where(
+                g == _FAR, _far_jit(tblf, far_idx, interpret=interpret), g
+            ),
+            lambda: jnp.where(g == _FAR, -1, g),
+        )
         hit = g >= 0
-        srcres = jnp.where(hit & ((g >> 16) == 1), 1, srcres)
-        src = jnp.where(hit & ((g >> 16) == 0), g & 0xFFFF, src)
-        n_new = jnp.sum(unres & (srcres == 0))
-        return (src, srcres, n, n_new, it + 1)
+        commit = hit & (g >= _RESV)
+        y = jnp.where(commit, g - _RESV, y)
+        res = jnp.where(commit, 1, res)
+        src = jnp.where(hit & (g < _RESV), g, src)
+        n_new = jnp.sum(1 - res)
+        return (y, res, src, n_new, it + 1)
 
-    # srcres starts unknown (0); the first round both tests and jumps.
-    n0 = jnp.sum(unres)
-    src, srcres, _, n, it = jax.lax.while_loop(
-        cond, body, (src, jnp.zeros_like(res), n0 + 1, n0, jnp.int32(0))
-    )
-    # Final byte gather at the (now resolved) sources.
-    tbl8 = (y_init.reshape(L, 512, 128) - 128).astype(jnp.int8)
-    idx = jnp.where(unres, src, -1)
-    g = _gather_jit(tbl8, res8, idx, interpret=interpret)
-    y = jnp.where(unres & (g >= 0), g & 0xFF, y_init)
+    n0 = jnp.sum(1 - res)
+    y, res, src, n, it = jax.lax.while_loop(cond, body, (y, res, src, n0, jnp.int32(0)))
     return y, it, n
 
 
@@ -473,19 +488,3 @@ def resolve_tokens_device(tokens, *, interpret: bool | None = None):
     y0, src, summ = _expand_jit(tokens, interpret=interpret)
     y, rounds, unresolved = resolve_iterate(y0, src, interpret=interpret)
     return y, summ, rounds, unresolved
-
-
-def gather_bytes_resolved(y, res_bits, idx, *, interpret: bool | None = None):
-    """y (L, N) int32 bytes; res_bits (L, N) int32 0/1; idx (L, M) int32
-    positions (-1 inactive) -> (L, M) int32 byte | resolved<<8 / -1."""
-    if interpret is None:
-        interpret = _interpret_default()
-    L, N = y.shape
-    assert N == N_POS
-    tbl8 = (y.reshape(L, 512, 128) - 128).astype(jnp.int8)
-    rbytes = jnp.sum(
-        res_bits.reshape(L, N // 8, 8) << jnp.arange(8, dtype=jnp.int32)[None, None, :],
-        axis=2,
-    )
-    res8 = (rbytes.reshape(L, 64, 128) - 128).astype(jnp.int8)
-    return _gather_jit(tbl8, res8, idx, interpret=interpret)

@@ -106,10 +106,11 @@ def main() -> int:
         for e in (1, 2, 3, 4, 5):
             row[f"native gzip e{e}"] = len(compress(blob, engine="native", effort=e))
         if args.tpu:
-            try:
-                row["tpu gzip"] = len(compress(blob, engine="tpu"))
-            except Exception as exc:
-                print(f"  tpu engine failed: {exc}", file=sys.stderr)
+            for e in (1, 2, 3):
+                try:
+                    row[f"tpu gzip e{e}"] = len(compress(blob, engine="tpu", effort=e))
+                except Exception as exc:
+                    print(f"  tpu engine e{e} failed: {exc}", file=sys.stderr)
         results[cname] = row
 
     # Render a markdown table: rows = modes, cols = corpora (ratio %)

@@ -130,6 +130,8 @@ def _u32_windows(data: jnp.ndarray) -> jnp.ndarray:
 _QUALITY = {
     0: dict(K4=16, W4=9, K3=2, W3=2),  # default (effort 2)
     1: dict(K4=24, W4=16, K3=4, W3=2),  # effort >= 3: 64-byte compares
+    # A wider tier (W4=32, 34-operand carry sort) stalls the remote
+    # Mosaic/XLA compiler for tens of minutes — keep carries <= ~18 ops.
 }
 
 

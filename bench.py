@@ -241,6 +241,15 @@ def section_tpu_e2e(data: bytes) -> None:
         res["encode_warm_mbps"] = round(len(enc_slice) / (time.monotonic() - t0) / 1e6, 2)
         res["encode_slice_mb"] = TPU_ENC_SLICE_MB
         res["ratio"] = round(len(gz_s) / len(enc_slice), 4)
+        # Link-excluded companion figure (the e2e number above rides the
+        # relay link, which can be single-digit MB/s when shared).
+        if _remaining() > 90:
+            try:
+                from tpu_deflate.codec.encode_jax import encode_kernel_bench
+
+                res["encode_kernel"] = encode_kernel_bench(enc_slice)
+            except Exception as e:
+                NOTES.append(f"encode_kernel failed: {e!r:.100}")
     else:
         NOTES.append("tpu encode sample skipped: out of budget")
     print(f"tpu (end-to-end, {plat}): {res}", file=sys.stderr)

@@ -711,6 +711,48 @@ def compress_members_tpu(data: bytes, *, lazy: bool | None = None, effort: int =
     return bytes(out)
 
 
+def encode_kernel_bench(data: bytes, *, reps: int = 3) -> dict:
+    """Device-encode throughput with the relay link excluded.
+
+    Stages one ENC_LANE_BATCH batch's input in HBM (upload untimed),
+    then times the full device+host encode pipeline — analyze phase 1
+    (match find + pallas parse transfers), host cross-tile walk, phase 2,
+    host Huffman planning, routing, emit, and the sliced word pull — the
+    work a directly-attached chip would see per batch (companion to the
+    decode kernel rows; the e2e number rides the relay link, which this
+    round measured as low as 2.5 MB/s up).
+    """
+    import time
+
+    n = min(len(data), ENC_LANE_BATCH * MEMBER_DATA)
+    chunk = np.frombuffer(data, np.uint8)[:n]
+    # Warm every shape (and populate the input on device via the normal
+    # path once), then time full batches.
+    compress_members_tpu(data[:n])
+
+    import jax
+
+    L = ENC_LANE_BATCH
+    padded = np.zeros((L, MEMBER_DATA), dtype=np.uint8)
+    padded.reshape(-1)[:n] = chunk
+    staged = jax.device_put(jnp.asarray(padded))
+    np.asarray(jnp.sum(staged.astype(jnp.int32)))
+
+    def one() -> float:
+        t0 = time.monotonic()
+        em = _plan_and_emit(_dispatch_analyze(chunk, True, 0, staged=staged))
+        _assemble_members(em)
+        return time.monotonic() - t0
+
+    one()
+    best = min(one() for _ in range(reps))
+    return {
+        "batch_mb": round(n / 2**20, 2),
+        "encode_kernel_mbps": round(n / best / 1e6, 2),
+        "note": "analyze+plan+emit+assembly, input upload untimed; link excluded",
+    }
+
+
 def _host_crc32(data: np.ndarray) -> int:
     """Member trailer CRC on host: native C when built (the NumPy table
     kernel was a visible slice of encode wall time)."""
@@ -724,8 +766,12 @@ def _host_crc32(data: np.ndarray) -> int:
     return crc32(data)
 
 
-def _dispatch_analyze(chunk: np.ndarray, lazy: bool, quality: int = 0):
-    """Stage 1: pad one lane batch and issue the analyze kernel."""
+def _dispatch_analyze(chunk: np.ndarray, lazy: bool, quality: int = 0, staged=None):
+    """Stage 1: pad one lane batch and issue the analyze kernel.
+
+    ``staged`` (a device array of the padded batch) skips the upload —
+    the kernel-only bench uses it to keep the relay link off the clock.
+    """
     n = chunk.size
     L_real = -(-n // MEMBER_DATA)
     L = ENC_LANE_BATCH
@@ -741,7 +787,7 @@ def _dispatch_analyze(chunk: np.ndarray, lazy: bool, quality: int = 0):
     from . import parse_pallas as pp
 
     if pp.parse_available() and MEMBER_DATA % (512 * 128) == 0:
-        dd = jnp.asarray(padded)
+        dd = staged if staged is not None else jnp.asarray(padded)
         p1 = analyze_phase1(dd, jnp.asarray(lengths), lazy, quality)
         try:
             p1["transfers"].copy_to_host_async()
@@ -749,7 +795,8 @@ def _dispatch_analyze(chunk: np.ndarray, lazy: bool, quality: int = 0):
             pass
         a = ("phase1", dd, p1)
     else:
-        a = analyze_device(jnp.asarray(padded), jnp.asarray(lengths), lazy, quality)
+        dd = staged if staged is not None else jnp.asarray(padded)
+        a = analyze_device(dd, jnp.asarray(lengths), lazy, quality)
     return a, padded, lengths, L, L_real
 
 

@@ -619,25 +619,34 @@ def _build_headers(litlen_lengths: np.ndarray, dist_lengths: np.ndarray):
     H = MAX_HEADER_SLOTS
     vals = np.zeros((L, H), dtype=np.uint32)
     bits = np.zeros((L, H), dtype=np.int32)
+    # Phase 1: per-lane RLE + clen histograms; the clen Huffman + code
+    # assignment then run ONCE batched over lanes (the per-lane calls
+    # were ~2/3 of this function's time).
+    lane_rle = []
+    hists = np.zeros((L, 19), dtype=np.int64)
     for l in range(L):
         ll = litlen_lengths[l]
         dd = dist_lengths[l]
         hi = 288
         while hi > 257 and ll[hi - 1] == 0:
             hi -= 1
-        ll_t = ll[:hi]
         hi_d = 30
         while hi_d > 1 and dd[hi_d - 1] == 0:
             hi_d -= 1
-        dd_t = dd[:hi_d]
-        code_lens = np.concatenate([ll_t, dd_t])
+        code_lens = np.concatenate([ll[:hi], dd[:hi_d]])
         syms, extras = _clen_rle(code_lens)
         clen_hist = np.bincount(np.asarray(syms, dtype=np.int64), minlength=19)
         if int((clen_hist > 0).sum()) < 2:
             i = int(np.nonzero(clen_hist)[0][0]) if clen_hist.any() else 0
             clen_hist[(i + 1) % 19] += 1
-        clen_lengths = huffman_lengths_batch(clen_hist[None, :], 7)[0]
-        clen_codes = _pack_codes(clen_lengths[None, :], 7)[0]
+        hists[l] = clen_hist
+        lane_rle.append((hi, hi_d, syms, extras))
+    clen_lengths_all = huffman_lengths_batch(hists, 7)
+    clen_codes_all = _pack_codes(clen_lengths_all, 7)
+    for l in range(L):
+        hi, hi_d, syms, extras = lane_rle[l]
+        clen_lengths = clen_lengths_all[l]
+        clen_codes = clen_codes_all[l]
         reordered = clen_lengths[CLEN_ORDER]
         num_clen = 19
         while num_clen > 4 and reordered[num_clen - 1] == 0:

@@ -192,6 +192,12 @@ def _measure_link() -> dict:
 
     mb = 4
     x = np.random.default_rng(0).integers(0, 255, mb << 20, dtype=np.uint8)
+    # Warm every graph untimed (device-side zeros: no link traffic), so
+    # the timed regions measure the link, not first-compile latency.
+    z = jnp.zeros(mb << 20, jnp.uint8)
+    np.asarray(jnp.sum(z.astype(jnp.int32)))
+    small = jnp.zeros(8, jnp.int32)
+    np.asarray(small + 1)
     t0 = time.monotonic()
     d = jax.device_put(x)
     np.asarray(jnp.sum(d.astype(jnp.int32)))
@@ -201,7 +207,6 @@ def _measure_link() -> dict:
     t0 = time.monotonic()
     np.asarray(y)
     down = mb / (time.monotonic() - t0)
-    small = jnp.zeros(8, jnp.int32)
     t0 = time.monotonic()
     for _ in range(3):
         np.asarray(small + 1)

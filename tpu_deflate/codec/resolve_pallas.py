@@ -4,7 +4,7 @@
 
 The copy loop is the last serial stage the chip did not own: compacted
 tokens (literal byte | match run/dist) had to go to the host C runtime
-for expansion. This module keeps them on device:
+for expansion. This module keeps them on device, in two kernels:
 
 1. **Expand** (``expand_kernel``): one VMEM kernel per lane turns the
    front-compacted token stream into per-position state — the literal
@@ -12,23 +12,36 @@ for expansion. This module keeps them on device:
    starts come from an in-VMEM exclusive scan of token sizes; records
    move to their start positions with MSB-first displacement moves (the
    collision-free mirror of the compaction moves); covering-token fill
-   is a log-shift running max. Sources use a *region-level mod trick*:
+   is a log-shift running max. Sources use a *capped region-mod trick*:
    for p inside a maximal constant-distance match region starting at A,
-   ``src(p) = (A - d) + ((p - A) mod d)`` — every position of an RLE run
-   or a pure periodic copy chain then sources directly from the d bytes
-   before the region, collapsing what would be an O(run/d)-deep chain.
-2. **Resolve rounds** (``gather_kernel``): value iteration
-   ``y[p] <- y[src(p)] where resolved(src(p))``. The gather is the MXU
-   one-hot trick at VMEM residency: requests one-hot over the table's
-   row axis (512 rows x 128 lanes = the 64 KiB member space), one
-   int8 x int8 -> int32 matmul against the byte table, a 128-way masked
-   column select — no dynamic gather instruction anywhere (measured 67ms
-   per 4M-element XLA gather on this backend). A second tiny matmul
-   gathers the resolved bitmask (bytes, N/8 table). Chunks whose
-   positions are all resolved skip their matmul.
-3. The driver iterates rounds until the unresolved count stops moving
-   (host-free ``lax.while_loop``), then reports the residue; a nonzero
-   residue (pathological chain depth) falls back to host resolve.
+   the copy semantics ``out[p] = out[p - d]`` iterate analytically to
+   ``src(p) = p - d*k`` with ``k = min(floor((p-A)/d) + 1,
+   floor(32768/d))`` — RLE runs and periodic copy chains collapse to
+   near-constant depth, while every emitted source provably stays
+   within 32 KiB of its position (the DEFLATE window bound,
+   ``decomp/Open.java:592-593``), which is what lets the resolve sweep
+   below use a fixed 34 KiB gather window.
+2. **Sweep resolve** (``_sweep_kernel``): one kernel per lane walks the
+   64 KiB tile in 32 sequential 2 KiB blocks with the whole (history +
+   tile) state resident in a VMEM scratch. Sources always point
+   backwards, so when block t is processed every earlier position is
+   already final; each block runs a short local fixpoint (typically 1-2
+   rounds, bounded by log2(2048)+1) whose gather is an **int8 one-hot
+   matmul** against a fixed 272-row window — three 7-bit byte planes,
+   one (2048, 272) x (272, 384) int8 MXU dot per round, then a 128-way
+   column select. No f32 HIGHEST passes, no global pointer-jump rounds,
+   no far-pass fallback, no per-round HBM staging: the round-4 design
+   paid all four (measured 341 ms of a 445 ms batch).
+
+A 32 KiB resolved-history **tail** input chains tiles of members larger
+than 64 KiB (and block-parallel foreign streams): the format guarantees
+no source reaches further back than the previous tile's last 32 KiB
+(≙ the 32 KiB ring dictionary, ``decomp/Open.java:64-66,201``).
+
+The expand summary reports a copy-before-start error position and the
+sweep reports an unresolved residue; callers (engine decode,
+``kernel_only_bench_full``) fall back to host resolve for a lane whose
+residue is nonzero rather than consuming its bytes.
 
 Differentially tested against the NumPy reference (`resolve_reference`)
 and the C runtime's ``td_resolve_tokens`` on the conformance corpus.
@@ -52,9 +65,13 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_IMPORTED = False
 
-N_POS = 65536  # member output space (profile members are <= 64 KiB)
+N_POS = 65536  # tile output space (profile members are <= 64 KiB; larger members tile)
 TOKEN_MATCH_BIT = 1 << 26
-GCHUNK = 16  # gather kernel: sublane rows per request block (16*128 = 2048)
+W_CAP = 32768  # max emitted back-jump = the DEFLATE window (decomp/Open.java:592)
+
+TAIL_ROWS = 256  # 32 KiB of resolved history rows ahead of the tile
+_WIN_ROWS = 272  # sweep gather window: 256 history-capable rows + the 16 own rows
+_LOCAL_MAX = 12  # local fixpoint bound per 2 KiB block (ceil(log2(2048)) + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -68,7 +85,8 @@ def expand_reference(tokens: np.ndarray):
     tokens: (K,) int32 front-compacted, -1 padding. Literal tokens are
     byte values [0, 256); matches TOKEN_MATCH_BIT | run<<16 | dist-1.
     Returns per-position initial bytes (-1 unresolved), source positions
-    (region-mod form; self at literals), literal mask, total output.
+    (capped region-mod form, matching the device kernel; self at
+    literals), literal mask, total output.
     """
     toks = tokens[tokens >= 0].astype(np.int64)
     is_m = (toks & TOKEN_MATCH_BIT) != 0
@@ -77,19 +95,24 @@ def expand_reference(tokens: np.ndarray):
     starts = np.concatenate([[0], np.cumsum(runs)[:-1]]).astype(np.int64)
     tok_of = np.repeat(np.arange(toks.size), runs)
     pos = np.arange(total)
-    seg = starts[tok_of]
     d = np.where(is_m, (toks & 0xFFFF) + 1, 1)[tok_of]
     lit = ~is_m[tok_of]
     brk = lit | np.concatenate([[True], (d[1:] != d[:-1])]) if total else lit
     A = np.maximum.accumulate(np.where(brk, pos, -1)) if total else pos
-    src = np.where(lit, pos, (A - d) + ((pos - A) % d))
+    k = np.minimum((pos - A) // d + 1, np.maximum(W_CAP // d, 1))
+    src = np.where(lit, pos, pos - k * d)
     y0 = np.where(lit, toks[tok_of] & 0xFF, -1)
     return y0.astype(np.int64), src.astype(np.int64), lit, total
 
 
-def resolve_reference(tokens: np.ndarray) -> bytes:
-    """Serial expansion oracle (matches native td_resolve_tokens)."""
-    out = bytearray()
+def resolve_reference(tokens: np.ndarray, history: bytes = b"") -> bytes:
+    """Serial expansion oracle (matches native td_resolve_tokens).
+
+    ``history`` seeds the dictionary for tile-chained streams; returned
+    bytes exclude it.
+    """
+    out = bytearray(history)
+    h = len(history)
     for t in tokens:
         t = int(t)
         if t < 0:
@@ -103,7 +126,7 @@ def resolve_reference(tokens: np.ndarray) -> bytes:
             raise ValueError("copy before start")
         for _ in range(run):
             out.append(out[-dist])
-    return bytes(out)
+    return bytes(out[h:])
 
 
 def _interpret_default() -> bool:
@@ -120,25 +143,20 @@ def _interpret_default() -> bool:
 INT_MIN = -0x80000000
 
 
-def _expand_kernel(tok_ref, y0_ref, src_ref, sum_ref):
+def _expand_kernel(tok_ref, y0_ref, src_ref, sum_ref, *, hist: int):
     """Expand one lane's compacted token stream to per-position state.
 
     tok_ref (1, 512, 128) int32, row-major token slots (-1 padding);
     y0_ref: literal byte at literal positions, -1 at match positions,
     0 past the stream end (resolved zero — the CRC path needs zeroed
-    tails); src_ref: source position at match positions (region-mod
-    form), the position itself elsewhere; sum_ref (1, 8, 128): row 0 =
-    first copy-before-start error position (N_POS if none), row 1 =
-    total output bytes, row 2 = unresolved (match) position count —
-    each replicated across the 128 lanes.
-
-    The region-mod source: for p inside a maximal run of consecutive
-    positions covered by matches of one distance d starting at A,
-    ``src(p) = (A - d) + ((p - A) mod d)`` — the copy semantics
-    ``out[p] = out[p - d]`` iterated analytically until it leaves the
-    region (≙ overlapping-copy wraparound, ``comp/Lz77Huffman.java:76-78``
-    / ``decomp/Open.java:589-617``), so chain depth is counted in
-    regions, not bytes.
+    tails); src_ref: source position at match positions (capped
+    region-mod form, tile-local, >= -hist), the position itself
+    elsewhere; sum_ref (1, 8, 128): row 0 = first copy-before-start /
+    oversized-distance error position (N_POS if none), row 1 = total
+    output bytes, row 2 = unresolved (match) position count — each
+    replicated across the 128 lanes. ``hist`` is the resolved history
+    available before position 0 (0 for a stream start, 32768 for a
+    chained tile).
     """
     x = tok_ref[0]  # (512, 128) token slots
     R = x.shape[0]
@@ -157,10 +175,10 @@ def _expand_kernel(tok_ref, y0_ref, src_ref, sum_ref):
 
     @pl.when(jnp.any(x >= 0))
     def _body():
-        _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref)
+        _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref, hist)
 
 
-def _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref):
+def _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref, hist):
     def read_fwd(arr, s, fill):
         """out[p] = arr[p + s] in flattened row-major order."""
         if s % 128 == 0:
@@ -209,9 +227,14 @@ def _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref):
 
     in_stream = pos < total
     lit_here = (rec >= 0) & (rec < 256)
+    mstart = rec >= 256
+    # dist-1 must fit the 15-bit region packing below; a spec-valid
+    # DEFLATE distance is <= 32768 (decomp/Open.java:592), so dist-1 >=
+    # 0x8000 only arises from corrupt upstream state — flag it into the
+    # error summary instead of silently truncating the copy.
+    big_dist = mstart & ((rec & 0xFFFF) >= 0x8000)
     # Per-position distance (0 at literal/out-of-stream): fill match
     # records' d over their run via a running max of (pos << 15 | d-1).
-    mstart = rec >= 256
     packed = jnp.where(
         mstart, (pos << 15) | (rec & 0x7FFF), jnp.where(rec != INT_MIN, pos << 15, -1)
     )
@@ -219,7 +242,6 @@ def _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref):
     while s < M:
         packed = jnp.maximum(packed, read_back(packed, s, -1))
         s *= 2
-    seg = packed >> 15
     match_pos = in_stream & ~lit_here
     cd = jnp.where(match_pos, (packed & 0x7FFF) + 1, 0)
 
@@ -234,13 +256,26 @@ def _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref):
     A = amark
     i = pos - A
     dd = jnp.maximum(cd, 1)
-    q = (i.astype(jnp.float32) / dd.astype(jnp.float32)).astype(jnp.int32)
+    ddf = dd.astype(jnp.float32)
+    q = (i.astype(jnp.float32) / ddf).astype(jnp.int32)
     r = i - q * dd
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= dd, q + 1, q))
     r = jnp.where(r < 0, r + dd, r)
     r = jnp.where(r >= dd, r - dd, r)
-    src = jnp.where(match_pos, (A - dd) + r, pos)
+    # Full region-mod source (for the error check: does the chain leave
+    # the available history?) ...
+    src_mod = (A - dd) + r
+    # ... and the emitted capped jump: the largest k*dd step that stays
+    # within the 32 KiB window, so the sweep's fixed 34 KiB gather
+    # window always contains it. p - k*dd is on the same copy chain as
+    # src_mod (both congruent to p mod dd, inside [src_mod, p)).
+    kd = (jnp.float32(W_CAP) / ddf).astype(jnp.int32)
+    kd = jnp.where(kd * dd > W_CAP, kd - 1, kd)
+    kd = jnp.where((kd + 1) * dd <= W_CAP, kd + 1, kd)
+    k = jnp.maximum(jnp.minimum(q + 1, kd), 1)
+    src = jnp.where(match_pos, pos - k * dd, pos)
 
-    err = match_pos & (src < 0)
+    err = (match_pos & (src_mod < -hist)) | (in_stream & big_dist)
     err_pos = jnp.min(jnp.where(err, pos, M))
     # Error positions resolve to 0 so an errored lane cannot stall the
     # wave's fixpoint loop; the summary row carries the Reason site.
@@ -255,13 +290,13 @@ def _expand_body(x, R, M, lane, row, pos, y0_ref, src_ref, sum_ref):
     sum_ref[0] = summ
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _expand_jit(tokens: jnp.ndarray, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("hist", "interpret"))
+def _expand_jit(tokens: jnp.ndarray, *, hist: int = 0, interpret: bool = False):
     """tokens (L, N_POS) int32 -> (y0, src, summary)."""
     L, M = tokens.shape
     assert M == N_POS
     y0, src, summ = pl.pallas_call(
-        _expand_kernel,
+        functools.partial(_expand_kernel, hist=hist),
         grid=(L,),
         in_specs=[
             pl.BlockSpec((1, 512, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
@@ -281,211 +316,227 @@ def _expand_jit(tokens: jnp.ndarray, *, interpret: bool = False):
     return y0.reshape(L, M), src.reshape(L, M), summ[:, :, 0]
 
 
-def expand_device(tokens, *, interpret: bool | None = None):
+def expand_device(tokens, *, hist: int = 0, interpret: bool | None = None):
     """tokens (L, N_POS) int32 -> (y0, src, summary (L, 8))."""
     if interpret is None:
         interpret = _interpret_default()
-    return _expand_jit(tokens, interpret=interpret)
+    return _expand_jit(tokens, hist=hist, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
-# Step kernels: one f32-packed gather per pointer-jump round
+# Sweep resolve kernel: sequential 2 KiB blocks, VMEM-resident state
 # ---------------------------------------------------------------------------
 #
-# Per-round state at every position q is packed into ONE f32 table entry
-# (exact: < 2^18, well inside f32's 24-bit integer range):
-# resolved(q) ? 0x20000 + y(q) : src(q). A round then
-# needs a single one-hot MXU gather at q = src(p): if resolved(q), p
-# commits value y(q) and becomes resolved itself (the resolved set GROWS
-# round over round, so chains retire from the front while jumping doubles
-# from the back); otherwise src(p) <- src(q). Construction + compare
-# volume is the measured cost (the VPU runs near peak), so the common
-# case uses a NEAR kernel whose table window is the 4 16-row blocks at
-# and before the request block (sources within ~6 KiB — the bulk of
-# DEFLATE distances and of early jump compositions, 8x less compare
-# volume); requests pointing further return a FAR sentinel and re-run
-# through the full-table kernel (chunk-skipped; rare in practice).
-
-_FAR = -2
-_NROWS = 16  # request block rows (2048 requests) = one 16-row table block
-_NWIN = 8  # near window: this + previous 7 table blocks (~14 KiB; 16 measured slower, 4 more far passes)
-
+# Per-position state at q is packed into ONE int32 entry: resolved(q) ?
+# _RESV + y(q) : src_768(q), where src_768 is the source in the 768-row
+# space [tail (256 rows) | tile (512 rows)]. Pointers are < 98304 <
+# _RESV, so a single compare classifies an entry. Blocks are processed
+# left to right; a block's local fixpoint both commits bytes (gathered
+# entry >= _RESV) and composes pointer jumps (gathered entry < _RESV)
+# with the SAME gathered value, so the loop body is one gather + one
+# select. The capped expand jump guarantees every pointer reachable
+# while block t is active lies in rows [16t, 16t+272).
 
 _RESV = 0x20000  # packed-entry offset marking a resolved position's byte
 
 
-def _step_gather(win, ws_pos, m, active):
-    """Gather packed entries for requests m from window ``win`` (W, 128)
-    f32 whose row 0 is global table row ws_pos/128. Returns int32
-    packed entries, -1 where inactive/out-of-window."""
-    W = win.shape[0]
-    R = m.shape[0]
-    a = (m >> 7) - (ws_pos >> 7)
-    c = m & 127
-    in_win = active & (a >= 0) & (a < W)
-    iota_a = jax.lax.broadcasted_iota(jnp.int32, (R, 128, W), 2)
-    oh = jnp.where(iota_a == a[:, :, None], jnp.float32(1), jnp.float32(0))
-    # Precision.HIGHEST: TPU f32 matmuls default to bf16 passes, which
-    # would truncate the packed integer entries to ~8 mantissa bits.
-    r = jax.lax.dot_general(
-        oh,
-        win,
-        (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (R, 128, 128)
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (R, 128, 128), 2)
-    sel = jnp.sum(jnp.where(iota_c == c[:, :, None], r, 0.0), axis=2)
-    return jnp.where(in_win, sel.astype(jnp.int32), -1)
+def _sweep_kernel(tail_ref, y0_ref, src_ref, y_ref, st_ref, ent_ref):
+    """Resolve one lane's 64 KiB tile against a 32 KiB resolved tail.
 
+    tail_ref (1, 256, 128) int32: resolved history bytes (the previous
+    tile's last 32 KiB; zeros at a stream start). y0/src from the
+    expand kernel. Outputs: y_ref (1, 512, 128) resolved bytes (0 at
+    unresolved residue positions), st_ref (1, 8, 128): row 0 =
+    unresolved residue count, row 1 = total local gather rounds.
+    ent_ref: (768, 128) int32 VMEM scratch — the packed entry table.
 
-def _near_kernel(idx_ref, *refs):
-    (*t_refs, out_ref) = refs
-    """Near-window step: requests (1, 16, 128); window = the contiguous
-    4 table blocks starting at max(t-3, 0) — covers [window_start,
-    window_start + 8192) which always contains [t*2048 - 6144, block
-    end). Far requests -> _FAR."""
-    t = pl.program_id(1)
-    idx = idx_ref[0]
-    active = idx >= 0
-
-    @pl.when(jnp.any(active))
-    def _():
-        win = jnp.concatenate([t[0] for t in t_refs], axis=0)
-        m = jnp.where(active, idx, 0)
-        ws = jnp.maximum(t - (_NWIN - 1), 0) * (_NROWS * 128)
-        g = _step_gather(win, ws, m, active)
-        out_ref[0] = jnp.where(active, jnp.where(g >= 0, g, _FAR), -1)
-
-    @pl.when(jnp.logical_not(jnp.any(active)))
-    def _():
-        out_ref[0] = jnp.full(idx.shape, -1, jnp.int32)
-
-
-def _far_kernel(tbl_ref, idx_ref, out_ref):
-    """Full-table step for requests outside the near window."""
-    idx = idx_ref[0]
-    active = idx >= 0
-
-    @pl.when(jnp.any(active))
-    def _():
-        m = jnp.where(active, idx, 0)
-        out_ref[0] = _step_gather(tbl_ref[0], 0, m, active)
-
-    @pl.when(jnp.logical_not(jnp.any(active)))
-    def _():
-        out_ref[0] = jnp.full(idx.shape, -1, jnp.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _near_jit(tblf, idx, *, interpret: bool = False):
-    L, M = idx.shape
-    NB = M // (_NROWS * 128)
-
-    def tmap(k):
-        # contiguous window: blocks [max(t-3,0)+k for k in 0..3]
-        return lambda l, t: (l, jnp.maximum(t - (_NWIN - 1), 0) + k, 0)
-
-    out = pl.pallas_call(
-        _near_kernel,
-        grid=(L, NB),
-        in_specs=[
-            pl.BlockSpec((1, _NROWS, 128), lambda l, t: (l, t, 0), memory_space=pltpu.VMEM),
-            *[
-                pl.BlockSpec((1, _NROWS, 128), tmap(k), memory_space=pltpu.VMEM)
-                for k in range(_NWIN)
-            ],
-        ],
-        out_specs=pl.BlockSpec(
-            (1, _NROWS, 128), lambda l, t: (l, t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((L, M // 128, 128), jnp.int32),
-        interpret=interpret,
-    )(idx.reshape(L, M // 128, 128), *([tblf] * _NWIN))
-    return out.reshape(L, M)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _far_jit(tblf, idx, *, interpret: bool = False):
-    L, M = idx.shape
-    B = GCHUNK * 128
-    out = pl.pallas_call(
-        _far_kernel,
-        grid=(L, M // B),
-        in_specs=[
-            pl.BlockSpec((1, 512, 128), lambda l, t: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GCHUNK, 128), lambda l, t: (l, t, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, GCHUNK, 128), lambda l, t: (l, t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((L, M // 128, 128), jnp.int32),
-        interpret=interpret,
-    )(tblf, idx.reshape(L, M // 128, 128))
-    return out.reshape(L, M)
-
-
-# ---------------------------------------------------------------------------
-# Resolve driver: growing-front pointer jumping (device-side while_loop)
-# ---------------------------------------------------------------------------
-
-
-@functools.partial(jax.jit, static_argnames=("max_rounds", "interpret"))
-def resolve_iterate(y0, src, *, max_rounds: int = 20, interpret: bool = False):
-    """Resolve by pointer jumping with a growing resolved front.
-
-    y0/src (L, N) from :func:`expand_device`. Each round gathers the
-    packed (src | y<<16 | resolved<<24) table at every unresolved
-    position's current source: a resolved source commits its byte (and
-    the position joins the resolved set other chains gather from); an
-    unresolved one contributes its own source (jump doubling). ``src``
-    is strictly decreasing along chains, so <= ceil(log2 depth)+1
-    rounds converge. Returns (y, rounds, unresolved).
+    ≙ decomp/Open.java:589-617 (dictionary copy), with the serial ring
+    walk replaced by 32 block steps whose gathers are int8 MXU one-hot
+    matmuls over a fixed 272-row window.
     """
-    L, N = y0.shape
-    res = (y0 >= 0).astype(jnp.int32)
-    y = jnp.where(y0 >= 0, y0, 0)
+    y0 = y0_ref[0]
+    src = src_ref[0]
+    ent_ref[pl.ds(0, TAIL_ROWS), :] = _RESV + tail_ref[0]
+    ent_ref[pl.ds(TAIL_ROWS, 512), :] = jnp.where(
+        y0 >= 0, _RESV + y0, src + TAIL_ROWS * 128
+    )
 
-    def cond(carry):
-        y, res, src, n, it = carry
-        return (n > 0) & (it < max_rounds)
+    def block(t, rounds):
+        row0 = TAIL_ROWS + 16 * t
 
-    def body(carry):
-        y, res, src, n, it = carry
-        tblf = (
-            jnp.where(res == 1, _RESV + y, src).astype(jnp.float32).reshape(L, 512, 128)
-        )
-        idx = jnp.where(res == 0, src, -1)
-        g = _near_jit(tblf, idx, interpret=interpret)
-        far_idx = jnp.where(g == _FAR, idx, -1)
-        g = jax.lax.cond(
-            jnp.any(far_idx >= 0),
-            lambda: jnp.where(
-                g == _FAR, _far_jit(tblf, far_idx, interpret=interpret), g
+        def cond(carry):
+            r, active = carry
+            return jnp.logical_and(r < _LOCAL_MAX, active)
+
+        def body(carry):
+            r, _ = carry
+            # State lives in the scratch ref (not the loop carry) so a
+            # gather whose target is in the block being processed sees
+            # the entries committed/composed by the previous round.
+            blk = ent_ref[pl.ds(row0, 16), :]
+            win = ent_ref[pl.ds(16 * t, _WIN_ROWS), :]  # (272, 128)
+            w3 = jnp.concatenate(
+                [
+                    (win & 127).astype(jnp.int8),
+                    ((win >> 7) & 127).astype(jnp.int8),
+                    (win >> 14).astype(jnp.int8),
+                ],
+                axis=1,
+            )  # (272, 384) — three 7-bit byte planes
+            unres = blk < _RESV
+            m = jnp.where(unres, blk, 0) - 16 * t * 128  # window-local target
+            a = m >> 7
+            c = m & 127
+            iota_a = jax.lax.broadcasted_iota(jnp.int32, (16, 128, _WIN_ROWS), 2)
+            oh = (iota_a == a[:, :, None]).astype(jnp.int8)
+            g3 = jax.lax.dot_general(
+                oh, w3, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )  # (16, 128, 384)
+            e = g3[:, :, 0:128] + (g3[:, :, 128:256] << 7) + (g3[:, :, 256:384] << 14)
+            iota_c = jax.lax.broadcasted_iota(jnp.int32, (16, 128, 128), 2)
+            sel = jnp.sum(jnp.where(iota_c == c[:, :, None], e, 0), axis=2)
+            # A resolved gathered entry commits the byte; an unresolved
+            # one IS the composed jump — both are just the entry.
+            new = jnp.where(unres, sel, blk)
+            ent_ref[pl.ds(row0, 16), :] = new
+            return (r + 1, jnp.any(new < _RESV))
+
+        active0 = jnp.any(ent_ref[pl.ds(row0, 16), :] < _RESV)
+        r, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), active0))
+        return rounds + r
+
+    total_rounds = jax.lax.fori_loop(0, 32, block, jnp.int32(0))
+
+    ent = ent_ref[pl.ds(TAIL_ROWS, 512), :]
+    y_ref[0] = jnp.maximum(ent - _RESV, 0)
+    n_unres = jnp.sum((ent < _RESV).astype(jnp.int32))
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    st = jnp.where(rows8 == 0, n_unres, 0)
+    st_ref[0] = jnp.where(rows8 == 1, total_rounds, st)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sweep_jit(tail, y0, src, *, interpret: bool = False):
+    """tail (L, 32768) int32 bytes, y0/src (L, N_POS) -> (y, status)."""
+    L, M = y0.shape
+    assert M == N_POS
+    y, st = pl.pallas_call(
+        _sweep_kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TAIL_ROWS, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM
             ),
-            lambda: jnp.where(g == _FAR, -1, g),
-        )
-        hit = g >= 0
-        commit = hit & (g >= _RESV)
-        y = jnp.where(commit, g - _RESV, y)
-        res = jnp.where(commit, 1, res)
-        src = jnp.where(hit & (g < _RESV), g, src)
-        n_new = jnp.sum(1 - res)
-        return (y, res, src, n_new, it + 1)
+            pl.BlockSpec((1, 512, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 512, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 512, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda l: (l, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, 512, 128), jnp.int32),
+            jax.ShapeDtypeStruct((L, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((TAIL_ROWS + 512, 128), jnp.int32)],
+        interpret=interpret,
+    )(
+        tail.reshape(L, TAIL_ROWS, 128),
+        y0.reshape(L, 512, 128),
+        src.reshape(L, 512, 128),
+    )
+    return y.reshape(L, M), st[:, :, 0]
 
-    n0 = jnp.sum(1 - res)
-    y, res, src, n, it = jax.lax.while_loop(cond, body, (y, res, src, n0, jnp.int32(0)))
-    return y, it, n
 
-
-def resolve_tokens_device(tokens, *, interpret: bool | None = None):
+def resolve_tokens_device(tokens, *, tail=None, interpret: bool | None = None):
     """Full device resolve: compacted tokens (L, N) -> final bytes.
 
+    ``tail`` (L, 32768) int32/uint8 resolved history bytes chains tiles
+    of members larger than N_POS (None = stream start).
+
     Returns (y (L, N) int32 bytes, summary (L, 8) [err_pos, total,
-    n_match], rounds, unresolved).
+    n_match, residue], rounds, unresolved). ``unresolved`` (and the
+    per-lane ``summary[:, 3]`` residue) is reported for the caller to
+    route those lanes to host resolve — the engine decode does exactly
+    that (decode_jax_v2._decode_single_block_device).
     """
     if interpret is None:
         interpret = _interpret_default()
-    y0, src, summ = _expand_jit(tokens, interpret=interpret)
-    y, rounds, unresolved = resolve_iterate(y0, src, interpret=interpret)
-    return y, summ, rounds, unresolved
+    L = tokens.shape[0]
+    hist = 0 if tail is None else TAIL_ROWS * 128
+    y0, src, summ = _expand_jit(tokens, hist=hist, interpret=interpret)
+    if tail is None:
+        tail = jnp.zeros((L, TAIL_ROWS * 128), jnp.int32)
+    else:
+        tail = jnp.asarray(tail, jnp.int32)
+    y, st = _sweep_jit(tail, y0, src, interpret=interpret)
+    summ = summ.at[:, 3].set(st[:, 0])
+    return y, summ, jnp.max(st[:, 1]), jnp.sum(st[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# Tile chaining for members / streams larger than N_POS
+# ---------------------------------------------------------------------------
+
+
+def split_tokens_tiles(tokens: np.ndarray) -> np.ndarray:
+    """Split one member's token stream at N_POS output boundaries.
+
+    tokens: (K,) int32 front-compacted (-1 padding). A match token
+    straddling a tile boundary is split in two with the same distance
+    (valid: the second half's source still lies within 32 KiB). Returns
+    (T, N_POS) int32, -1 padded — tile t covers output bytes
+    [t*N_POS, (t+1)*N_POS). ≙ unbounded streaming with the bounded ring
+    dictionary, decomp/Open.java:64-66.
+    """
+    toks = tokens[tokens >= 0].astype(np.int64)
+    is_m = (toks & TOKEN_MATCH_BIT) != 0
+    runs = np.where(is_m, (toks >> 16) & 0x3FF, 1)
+    ends = np.cumsum(runs)
+    total = int(ends[-1]) if toks.size else 0
+    T = max(1, -(-total // N_POS))
+    out = np.full((T, N_POS), -1, np.int32)
+    fill = np.zeros(T, np.int64)  # next free token slot per tile
+    starts = ends - runs
+    tile_of = starts // N_POS
+    for i in range(toks.size):
+        t = int(tile_of[i])
+        s, e = int(starts[i]), int(ends[i])
+        if e <= (t + 1) * N_POS:
+            out[t, fill[t]] = toks[i]
+            fill[t] += 1
+        else:  # straddling match: split at the boundary
+            cut = (t + 1) * N_POS
+            dist_m1 = int(toks[i] & 0xFFFF)
+            out[t, fill[t]] = TOKEN_MATCH_BIT | (cut - s) << 16 | dist_m1
+            fill[t] += 1
+            out[t + 1, fill[t + 1]] = TOKEN_MATCH_BIT | (e - cut) << 16 | dist_m1
+            fill[t + 1] += 1
+    return out
+
+
+def resolve_tokens_tiled(tiles, *, interpret: bool | None = None):
+    """Resolve (L, T, N_POS) tile-split token streams with chained tails.
+
+    Tiles at index t of every lane resolve in one batched call; each
+    step feeds its last 32 KiB forward as the next step's resolved
+    history. Returns (y (L, T, N_POS) int32 bytes, summaries
+    (L, T, 8), unresolved total).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    tiles = jnp.asarray(tiles)
+    L, T, M = tiles.shape
+    assert M == N_POS
+    ys, summs = [], []
+    unres_total = jnp.zeros((), jnp.int32)
+    tail = None
+    for t in range(T):
+        y, summ, _rounds, unres = resolve_tokens_device(
+            tiles[:, t], tail=tail, interpret=interpret
+        )
+        ys.append(y)
+        summs.append(summ)
+        unres_total = unres_total + unres
+        tail = y[:, M - TAIL_ROWS * 128 :]
+    return jnp.stack(ys, axis=1), jnp.stack(summs, axis=1), unres_total

@@ -135,7 +135,11 @@ def decompress(data: bytes, *, engine: str | None = None, config=None, mesh=None
         from .codec.decode_jax_v2 import gzip_decompress_tpu_v2
 
         return gzip_decompress_tpu_v2(
-            data, verify_crc=cfg.verify_crc, mesh=mesh, lane_batch=cfg.lane_batch
+            data,
+            verify_crc=cfg.verify_crc,
+            mesh=mesh,
+            lane_batch=cfg.lane_batch,
+            device_resolve=getattr(cfg, "device_resolve", "auto"),
         )
     import tpu_deflate as td
 

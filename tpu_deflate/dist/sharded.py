@@ -314,6 +314,44 @@ def sharded_analyze_emit(mesh: Mesh, axis: str | tuple = "data"):
     return step
 
 
+def sharded_resolve(mesh: Mesh, axis: str = "data"):
+    """Mesh-sharded device LZ77 resolve (the decode pipeline's final
+    stage, ≙ ``decomp/Open.java:589-617``).
+
+    Returns fn(tokens (L, N_POS) int32) -> (y, summary) with the lane
+    axis data-parallel over ``mesh[axis]``: each device runs the
+    expand + block-sweep pallas kernels on its lane shard — lanes are
+    independent members, so the stage needs zero communication and is
+    bit-exact with the single-device path (asserted in tests and
+    ``dryrun_multichip``). Stream-start lanes only (no tile tail
+    chaining across shards; a chained tile's tail is produced by the
+    same lane's previous call, which shards identically).
+    """
+    from ..codec import resolve_pallas as rp
+
+    interp = rp._interpret_default()
+
+    def body(tokens, tail):
+        y0, src, summ = rp._expand_jit(tokens, hist=0, interpret=interp)
+        y, st = rp._sweep_jit(tail, y0, src, interpret=interp)
+        return y, summ.at[:, 3].set(st[:, 0])
+
+    smapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotation
+    )
+
+    def fn(tokens):
+        L = tokens.shape[0]
+        tail = jnp.zeros((L, rp.TAIL_ROWS * 128), jnp.int32)
+        return smapped(jnp.asarray(tokens), tail)
+
+    return fn
+
+
 _SHARDED_DECODE_CACHE: dict = {}
 
 

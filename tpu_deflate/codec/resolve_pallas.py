@@ -23,15 +23,19 @@ for expansion. This module keeps them on device, in two kernels:
    below use a fixed 34 KiB gather window.
 2. **Sweep resolve** (``_sweep_kernel``): one kernel per lane walks the
    64 KiB tile in 32 sequential 2 KiB blocks with the whole (history +
-   tile) state resident in a VMEM scratch. Sources always point
+   tile) entry table resident in a VMEM scratch. Sources always point
    backwards, so when block t is processed every earlier position is
-   already final; each block runs a short local fixpoint (typically 1-2
-   rounds, bounded by log2(2048)+1) whose gather is an **int8 one-hot
-   matmul** against a fixed 272-row window — three 7-bit byte planes,
-   one (2048, 272) x (272, 384) int8 MXU dot per round, then a 128-way
-   column select. No f32 HIGHEST passes, no global pointer-jump rounds,
-   no far-pass fallback, no per-round HBM staging: the round-4 design
-   paid all four (measured 341 ms of a 445 ms batch).
+   already final; each block runs a short pointer-halving fixpoint
+   (typically 1-2 rounds, bounded by log2(2048)+1) whose gather is an
+   **int8 one-hot MXU matmul** against a fixed 272-row window — TWO
+   7-bit entry planes (entries are constrained block-local, < 0x900;
+   far targets ride the loop carry in register form), a sublane-major
+   one-hot build (no lane padding), one (2048, 272) x (272, 256) int8
+   MXU dot per round, then a 128-way column select. No f32 HIGHEST
+   passes, no global pointer-jump rounds, no far-pass fallback, no
+   per-round HBM staging, no 3-plane absolute-pointer packing: the
+   round-4 design paid the first four (measured 341 ms of a 445 ms
+   batch), the first round-5 sweep the last.
 
 A 32 KiB resolved-history **tail** input chains tiles of members larger
 than 64 KiB (and block-parallel foreign streams): the format guarantees
@@ -70,8 +74,8 @@ TOKEN_MATCH_BIT = 1 << 26
 W_CAP = 32768  # max emitted back-jump = the DEFLATE window (decomp/Open.java:592)
 
 TAIL_ROWS = 256  # 32 KiB of resolved history rows ahead of the tile
-_WIN_ROWS = 272  # sweep gather window: 256 history-capable rows + the 16 own rows
-_LOCAL_MAX = 12  # local fixpoint bound per 2 KiB block (ceil(log2(2048)) + 1)
+_WIN_ROWS = 272  # sweep gather window: 256 history rows + the block's own 16
+_LOCAL_MAX = 13  # fixpoint bound per 2 KiB block (log2(2048) + pending-far + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -327,17 +331,23 @@ def expand_device(tokens, *, hist: int = 0, interpret: bool | None = None):
 # Sweep resolve kernel: sequential 2 KiB blocks, VMEM-resident state
 # ---------------------------------------------------------------------------
 #
-# Per-position state at q is packed into ONE int32 entry: resolved(q) ?
-# _RESV + y(q) : src_768(q), where src_768 is the source in the 768-row
-# space [tail (256 rows) | tile (512 rows)]. Pointers are < 98304 <
-# _RESV, so a single compare classifies an entry. Blocks are processed
-# left to right; a block's local fixpoint both commits bytes (gathered
-# entry >= _RESV) and composes pointer jumps (gathered entry < _RESV)
-# with the SAME gathered value, so the loop body is one gather + one
-# select. The capped expand jump guarantees every pointer reachable
-# while block t is active lies in rows [16t, 16t+272).
+# Two-plane packed-entry design. Table entries are constrained to
+# < 0x900 so the gather needs only TWO int8 planes (the earlier 3-plane
+# absolute-pointer form paid a wider dot and plane combine):
+#   byte b                (< 0x100)  — resolved position
+#   _LOCAL_PTR + offset   (< 0x900)  — block-local source offset, or
+#                                      the position's own offset (a
+#                                      "pending" marker on far-source
+#                                      positions)
+# This is sufficient because a pointer entry is only ever gathered by a
+# position in the SAME block: when block t runs, everything earlier is
+# already final (bytes), and in-block composed targets stay in-block.
+# Far targets (≤ 32 KiB behind the block start, by the expand cap)
+# live in REGISTER form (the while-loop carry T, absolute coords) and
+# always gather an already-committed byte in round 1; a consumer that
+# gathers a pending far-source position simply waits at it one round.
 
-_RESV = 0x20000  # packed-entry offset marking a resolved position's byte
+_LOCAL_PTR = 0x100  # entry offset marking a block-local pointer
 
 
 def _sweep_kernel(tail_ref, y0_ref, src_ref, y_ref, st_ref, ent_ref):
@@ -347,69 +357,80 @@ def _sweep_kernel(tail_ref, y0_ref, src_ref, y_ref, st_ref, ent_ref):
     tile's last 32 KiB; zeros at a stream start). y0/src from the
     expand kernel. Outputs: y_ref (1, 512, 128) resolved bytes (0 at
     unresolved residue positions), st_ref (1, 8, 128): row 0 =
-    unresolved residue count, row 1 = total local gather rounds.
-    ent_ref: (768, 128) int32 VMEM scratch — the packed entry table.
+    unresolved residue count, row 1 = total gather rounds.
+    ent_ref: (768, 128) int32 VMEM scratch — the packed entry table
+    ([tail 256 rows | tile 512 rows]), all values < 0x900.
 
     ≙ decomp/Open.java:589-617 (dictionary copy), with the serial ring
-    walk replaced by 32 block steps whose gathers are int8 MXU one-hot
-    matmuls over a fixed 272-row window.
+    walk replaced by 32 block steps whose fixpoint gather is one
+    (2048, 272) x (272, 256) int8 one-hot MXU dot per round over the
+    two entry planes, then a 128-way column select per plane.
     """
     y0 = y0_ref[0]
     src = src_ref[0]
-    ent_ref[pl.ds(0, TAIL_ROWS), :] = _RESV + tail_ref[0]
+    row512 = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 0)
+    lane512 = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 1)
+    pos = row512 * 128 + lane512  # tile coords
+    inblk = (src >= 0) & ((src >> 11) == (pos >> 11))
+    # Table init: byte | _LOCAL_PTR + block-local source | _LOCAL_PTR +
+    # self (pending marker for far-source positions — consumers wait one
+    # round while the position commits via its own register target).
+    ent_ref[pl.ds(0, TAIL_ROWS), :] = tail_ref[0]
     ent_ref[pl.ds(TAIL_ROWS, 512), :] = jnp.where(
-        y0 >= 0, _RESV + y0, src + TAIL_ROWS * 128
+        y0 >= 0, y0, _LOCAL_PTR + (jnp.where(inblk, src, pos) & 2047)
     )
+
+    # One-hot row dim lives on SUBLANES (dim 1): 272 is a multiple of 8,
+    # so the build compare pays no lane padding (272 on the minor axis
+    # would round up to 384 lanes, +41% on the biggest VPU term).
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (16, _WIN_ROWS, 128), 1)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (16, 128, 128), 2)
 
     def block(t, rounds):
         row0 = TAIL_ROWS + 16 * t
+        # Absolute register targets (ent-table coords): the original
+        # source. Only round 1 can see a far target; every composed
+        # target is block-local by construction.
+        T0 = src_ref[0, pl.ds(16 * t, 16), :] + TAIL_ROWS * 128
 
         def cond(carry):
-            r, active = carry
+            r, T, active = carry
             return jnp.logical_and(r < _LOCAL_MAX, active)
 
         def body(carry):
-            r, _ = carry
-            # State lives in the scratch ref (not the loop carry) so a
-            # gather whose target is in the block being processed sees
-            # the entries committed/composed by the previous round.
+            r, T, _ = carry
             blk = ent_ref[pl.ds(row0, 16), :]
             win = ent_ref[pl.ds(16 * t, _WIN_ROWS), :]  # (272, 128)
-            w3 = jnp.concatenate(
-                [
-                    (win & 127).astype(jnp.int8),
-                    ((win >> 7) & 127).astype(jnp.int8),
-                    (win >> 14).astype(jnp.int8),
-                ],
+            w2 = jnp.concatenate(
+                [(win & 127).astype(jnp.int8), (win >> 7).astype(jnp.int8)],
                 axis=1,
-            )  # (272, 384) — three 7-bit byte planes
-            unres = blk < _RESV
-            m = jnp.where(unres, blk, 0) - 16 * t * 128  # window-local target
-            a = m >> 7
-            c = m & 127
-            iota_a = jax.lax.broadcasted_iota(jnp.int32, (16, 128, _WIN_ROWS), 2)
-            oh = (iota_a == a[:, :, None]).astype(jnp.int8)
-            g3 = jax.lax.dot_general(
-                oh, w3, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32
-            )  # (16, 128, 384)
-            e = g3[:, :, 0:128] + (g3[:, :, 128:256] << 7) + (g3[:, :, 256:384] << 14)
-            iota_c = jax.lax.broadcasted_iota(jnp.int32, (16, 128, 128), 2)
-            sel = jnp.sum(jnp.where(iota_c == c[:, :, None], e, 0), axis=2)
-            # A resolved gathered entry commits the byte; an unresolved
-            # one IS the composed jump — both are just the entry.
-            new = jnp.where(unres, sel, blk)
+            )  # (272, 256) — two planes; entries < 0x900
+            unres = blk >= _LOCAL_PTR
+            a = jnp.where(unres, (T >> 7) - 16 * t, -1)  # window-local row
+            c = T & 127
+            oh = (iota_a == a[:, None, :]).astype(jnp.int8)  # (16, 272, 128)
+            g2 = jax.lax.dot_general(
+                oh, w2, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )  # (16, 128, 256)
+            ec = g2[:, :, :128] + (g2[:, :, 128:] << 7)
+            e = jnp.sum(jnp.where(iota_c == c[:, :, None], ec, 0), axis=2)
+            # A gathered byte commits; a gathered pointer (always
+            # block-local) composes — the entry update is just e either
+            # way, and the register target re-anchors to this block.
+            new = jnp.where(unres, e, blk)
             ent_ref[pl.ds(row0, 16), :] = new
-            return (r + 1, jnp.any(new < _RESV))
+            T2 = jnp.where(unres, row0 * 128 + (e - _LOCAL_PTR), T)
+            return (r + 1, T2, jnp.any(new >= _LOCAL_PTR))
 
-        active0 = jnp.any(ent_ref[pl.ds(row0, 16), :] < _RESV)
-        r, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), active0))
+        active0 = jnp.any(ent_ref[pl.ds(row0, 16), :] >= _LOCAL_PTR)
+        r, _T, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), T0, active0))
         return rounds + r
 
     total_rounds = jax.lax.fori_loop(0, 32, block, jnp.int32(0))
 
     ent = ent_ref[pl.ds(TAIL_ROWS, 512), :]
-    y_ref[0] = jnp.maximum(ent - _RESV, 0)
-    n_unres = jnp.sum((ent < _RESV).astype(jnp.int32))
+    y_ref[0] = jnp.where(ent < _LOCAL_PTR, ent, 0)
+    n_unres = jnp.sum((ent >= _LOCAL_PTR).astype(jnp.int32))
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     st = jnp.where(rows8 == 0, n_unres, 0)
     st_ref[0] = jnp.where(rows8 == 1, total_rounds, st)

@@ -135,12 +135,32 @@ _QUALITY = {
 }
 
 
-def _match_find(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool, quality: int = 0):
-    """Shared match-find front half: data -> (use, dist, step, valid)."""
+def _match_find(
+    data: jnp.ndarray,
+    lengths: jnp.ndarray,
+    lazy: bool,
+    quality: int = 0,
+    hist: jnp.ndarray | None = None,
+    hstart: jnp.ndarray | None = None,
+):
+    """Shared match-find front half: data -> (use, dist, step, valid).
+
+    ``hist`` (L,) marks each lane's payload start column: positions
+    before it are 32 KiB continuous-history context (the previous
+    shard's tail from ``halo_exchange``) — they participate as match
+    CANDIDATES (matches may start in history, ≙ the reference's search
+    window including the history prefix, ``comp/Lz77Huffman.java:71``)
+    but are never tokenized themselves. ``hstart`` (L,) is the first
+    REAL history column (columns before it are row padding, e.g. the
+    stream head's empty window) and is excluded from candidacy. None =
+    the member-parallel path (whole row is payload).
+    """
     q = _QUALITY[quality]
     L, S = data.shape
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]
     valid = pos < lengths[:, None]
+    if hstart is not None:
+        valid = valid & (pos >= hstart[:, None])
     w32 = _u32_windows(data)
     lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
     idx = jnp.broadcast_to(pos, (L, S))
@@ -311,6 +331,13 @@ def _match_find(data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool, quality: in
         nxt_run = jnp.concatenate([use[:, 1:], jnp.zeros((L, 1), jnp.int32)], axis=1)
         defer = (use > 0) & (nxt_run > use)
         use = jnp.where(defer, 0, use)
+    if hist is not None:
+        # History positions are never tokens; their 1-byte steps walk
+        # the parse chain from the row start exactly onto the payload
+        # start, so the chain machinery needs no separate entry point.
+        in_payload = pos >= hist[:, None]
+        use = jnp.where(in_payload, use, 0)
+        dist = jnp.where(in_payload, dist, 0)
     step = jnp.where(use > 0, use, 1)
     return use, dist, step, valid
 
@@ -357,11 +384,19 @@ def _finish_analysis(data, use, dist, is_token):
 
 @functools.partial(jax.jit, static_argnames=("lazy", "quality"))
 def analyze_device(
-    data: jnp.ndarray, lengths: jnp.ndarray, lazy: bool = True, quality: int = 0
+    data: jnp.ndarray,
+    lengths: jnp.ndarray,
+    lazy: bool = True,
+    quality: int = 0,
+    hist: jnp.ndarray | None = None,
+    hstart: jnp.ndarray | None = None,
 ):
     """Match-find + parse + histogram for a batch of members (one jit).
 
     data: (L, S) uint8 (zero-padded rows), lengths: (L,) int32.
+    ``hist``/``hstart`` enable continuous-history rows (see
+    ``_match_find``): candidates reach into the 32 KiB halo prefix, but
+    tokens/histograms cover only the payload columns.
     Returns dict of per-position token info and per-lane histograms.
     The greedy parse here is the XLA pointer-doubling twin; the encode
     pipeline uses the two-phase pallas parse (analyze_phase1/2) on real
@@ -369,7 +404,7 @@ def analyze_device(
     4 MiB batch.
     """
     L, S = data.shape
-    use, dist, step, valid = _match_find(data, lengths, lazy, quality)
+    use, dist, step, valid = _match_find(data, lengths, lazy, quality, hist, hstart)
     idx = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (L, S))
     lanes = jnp.arange(L, dtype=jnp.int32)[:, None]
     nxt = jnp.minimum(idx + step, S)
@@ -383,6 +418,8 @@ def analyze_device(
         reached = reached | hit
         jump = jnp.take_along_axis(jump, jnp.clip(jump, 0, S), axis=1)
     is_token = reached[:, :S] & valid
+    if hist is not None:
+        is_token = is_token & (idx >= hist[:, None])
     return _finish_analysis(data, use, dist, is_token)
 
 
@@ -541,14 +578,17 @@ def _apply_route(
     eob_bits: jnp.ndarray,
     fix_ll_codes: jnp.ndarray,  # (1, 288)
     fix_d_codes: jnp.ndarray,  # (1, 30)
+    final: jnp.ndarray | None = None,  # (L,) 0/1 bfinal per lane
 ):
     """Swap fixed-Huffman codes/header/EOB into lanes routed FIXED, on
     device — fixed-code blocks then emit from the device like any other."""
     f = (choice == ROUTE_FIXED)[:, None]
+    fin = jnp.ones_like(choice) if final is None else final
     ll = jnp.where(f, fix_ll_codes, ll_codes)
     dd = jnp.where(f, fix_d_codes, d_codes)
     hv = jnp.where(f, 0, header_vals).at[:, 0].set(
-        jnp.where(f[:, 0], 3, header_vals[:, 0])  # bfinal=1, btype=01 LSB-first
+        # bfinal, then btype=01 LSB-first
+        jnp.where(f[:, 0], (fin | 2).astype(jnp.uint32), header_vals[:, 0])
     )
     hb = jnp.where(f, 0, header_bits).at[:, 0].set(
         jnp.where(f[:, 0], 3, header_bits[:, 0])
@@ -606,16 +646,25 @@ def _pack_codes(lengths: np.ndarray, nbits: int) -> np.ndarray:
     return ((lengths.astype(np.int64) << 16) | rev).astype(np.int32)
 
 
-def _build_headers(litlen_lengths: np.ndarray, dist_lengths: np.ndarray):
+def _build_headers(
+    litlen_lengths: np.ndarray,
+    dist_lengths: np.ndarray,
+    final: np.ndarray | None = None,
+):
     """Per-lane dynamic block header slots (host; small).
 
     Returns (header_vals (L,H) uint32, header_bits (L,H) int32). The
-    header is: bfinal=1(1) btype=10(2) hlit(5) hdist(5) hclen(4),
+    header is: bfinal(1) btype=10(2) hlit(5) hdist(5) hclen(4),
     hclen*3-bit clen lengths, then the RLE-coded code-length stream.
+    ``final`` (L,) 0/1 sets each lane's bfinal bit (default all-final —
+    the member-parallel profile); continuous mode finalizes only the
+    stream's last block (≙ ``DeflaterOutputStream.java:102-108``).
     """
     from ..format.tables import CLEN_ORDER
 
     L = litlen_lengths.shape[0]
+    if final is None:
+        final = np.ones(L, np.int32)
     H = MAX_HEADER_SLOTS
     vals = np.zeros((L, H), dtype=np.uint32)
     bits = np.zeros((L, H), dtype=np.int32)
@@ -652,7 +701,7 @@ def _build_headers(litlen_lengths: np.ndarray, dist_lengths: np.ndarray):
         while num_clen > 4 and reordered[num_clen - 1] == 0:
             num_clen -= 1
         slots = [
-            (1, 1),  # bfinal
+            (int(final[l]), 1),  # bfinal
             (2, 2),  # btype dynamic
             (hi - 257, 5),
             (hi_d - 1, 5),
@@ -809,20 +858,16 @@ def _dispatch_analyze(chunk: np.ndarray, lazy: bool, quality: int = 0, staged=No
     return a, padded, lengths, L, L_real
 
 
-def _plan_and_emit(pend):
-    """Stage 2: pull the histograms, plan codes on host, issue emit."""
-    a, padded, lengths, L, L_real = pend
-    if isinstance(a, tuple) and a[0] == "phase1":
-        # Two-phase pallas parse: walk the cross-tile chain on host
-        # (NT scalar steps per lane over the pulled transfer maps),
-        # then replay + finish on device.
-        from . import parse_pallas as pp
+def _plan_codes(a, lengths: np.ndarray, L: int, final: np.ndarray | None = None):
+    """Host Huffman planning + device routing shared by the
+    member-parallel and continuous paths.
 
-        _tag, dd, p1 = a
-        entries = pp.host_entries(np.asarray(p1["transfers"]))
-        a = analyze_phase2(
-            dd, p1["use"], p1["dist"], p1["tiles"], p1["valid"], jnp.asarray(entries)
-        )
+    Pulls the device histograms, runs the batched package-merge +
+    canonical assignment + header build on host, then routes each lane
+    (stored/fixed/dynamic argmin) on device. ``final`` (L,) sets per-
+    lane bfinal bits (continuous mode finalizes only the last block).
+    Returns device arrays for ``emit_device`` plus the route choice.
+    """
     litlen_hist = np.asarray(a["litlen_hist"]).astype(np.int64)
     dist_hist = np.asarray(a["dist_hist"]).astype(np.int64)
     # EOB occurs once per lane.
@@ -847,7 +892,7 @@ def _plan_and_emit(pend):
     ll_codes = _pack_codes(ll_lengths, MAX_CODE_BITS)
     d_codes = _pack_codes(d_lengths, MAX_CODE_BITS)
 
-    header_vals, header_bits = _build_headers(ll_lengths, d_lengths)
+    header_vals, header_bits = _build_headers(ll_lengths, d_lengths, final)
     eob_val = (ll_codes[:, 256] & 0xFFFF).astype(np.uint32)
     eob_bits = (ll_codes[:, 256] >> 16).astype(np.int32)
 
@@ -875,7 +920,26 @@ def _plan_and_emit(pend):
         jnp.asarray(eob_bits),
         fl,
         fd,
+        None if final is None else jnp.asarray(final.astype(np.int32)),
     )
+    return ll_c, d_c, hv, hb, ev, eb, choice
+
+
+def _plan_and_emit(pend):
+    """Stage 2: pull the histograms, plan codes on host, issue emit."""
+    a, padded, lengths, L, L_real = pend
+    if isinstance(a, tuple) and a[0] == "phase1":
+        # Two-phase pallas parse: walk the cross-tile chain on host
+        # (NT scalar steps per lane over the pulled transfer maps),
+        # then replay + finish on device.
+        from . import parse_pallas as pp
+
+        _tag, dd, p1 = a
+        entries = pp.host_entries(np.asarray(p1["transfers"]))
+        a = analyze_phase2(
+            dd, p1["use"], p1["dist"], p1["tiles"], p1["valid"], jnp.asarray(entries)
+        )
+    ll_c, d_c, hv, hb, ev, eb, choice = _plan_codes(a, lengths, L)
 
     # Token info stays on device between analyze and emit.
     flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
@@ -967,3 +1031,185 @@ def gzip_compress_tpu(data: bytes, *, effort: int = 2, metadata=None) -> bytes:
         wr.finish()
         return sink.getvalue() + out
     return out
+
+
+# ---------------------------------------------------------------------------
+# Continuous-history device encode (max-ratio mode: one member, 32 KiB
+# sliding history across blocks — the device analog of the host/C
+# continuous encoders; ≙ DeflaterOutputStream's sliding [history][data]
+# buffer, DeflaterOutputStream.java:38-45,119-137)
+# ---------------------------------------------------------------------------
+
+HALO_COLS = 32 * 1024  # fixed halo prefix width of a continuous lane row
+
+
+def _continuous_encode_lanes(
+    rows: np.ndarray,  # (L, HALO_COLS + B) uint8 [halo | payload]
+    hstart: np.ndarray,  # (L,) first real history column
+    pay_lens: np.ndarray,  # (L,) payload bytes per lane
+    final: np.ndarray,  # (L,) 0/1 bfinal
+    lazy: bool,
+    quality: int,
+    sharding=None,
+):
+    """Batched device encode of continuous-history lanes.
+
+    Every lane is one DEFLATE block whose match search reaches into its
+    32 KiB halo prefix (tokens cover only the payload columns). Returns
+    (words (L, W) uint32 host, total_bits (L,), choice (L,)) — block
+    bit-streams for the host splicer. ``sharding`` (a NamedSharding)
+    lane-shards the whole analyze+emit graph over a mesh.
+    """
+    L, S = rows.shape
+    lengths = (HALO_COLS + pay_lens).astype(np.int32)
+    dd = jnp.asarray(rows)
+    hist = jnp.full((L,), HALO_COLS, jnp.int32)
+    hs = jnp.asarray(hstart.astype(np.int32))
+    ln_d = jnp.asarray(lengths)
+    if sharding is not None:
+        dd = jax.device_put(dd, sharding[0])
+        hist = jax.device_put(hist, sharding[1])
+        hs = jax.device_put(hs, sharding[1])
+        ln_d = jax.device_put(ln_d, sharding[1])
+    a = analyze_device(dd, ln_d, lazy, quality, hist, hs)
+    ll_c, d_c, hv, hb, ev, eb, choice = _plan_codes(
+        a, pay_lens.astype(np.int64), L, final.astype(np.int32)
+    )
+    flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
+    words, total_bits = emit_device(
+        a["litlen_sym"], flags, a["len_eb"], a["len_ev"],
+        a["dist_sym"], a["dist_eb"], a["dist_ev"],
+        ll_c, d_c, hv, hb, ev, eb,
+    )
+    total_bits = np.asarray(total_bits)
+    mx = int(total_bits.max()) if L else 0
+    mw = min(words.shape[1], max(-(-mx // 32), 1))
+    return np.asarray(words[:, :mw]), total_bits, np.asarray(choice)
+
+
+class _BitSplicer:
+    """Incremental bit-level stream appender (host).
+
+    The continuous member is ONE bit stream: each lane's block lands at
+    the running bit offset (Huffman bodies are alignment-independent);
+    stored-routed lanes are emitted here instead of on device because
+    their byte-alignment padding depends on this exact offset
+    (≙ comp/Uncompressed.java:23-26's alignment-dependent cost).
+    """
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bitpos = 0
+
+    def append(self, sb: bytes, nbits: int) -> None:
+        if nbits == 0:
+            return
+        r = self.bitpos & 7
+        arr = np.frombuffer(sb, np.uint8)
+        if r == 0:
+            self.out += sb
+        else:
+            lo = ((arr.astype(np.uint16) << r) & 0xFF).astype(np.uint8)
+            hi = (arr >> (8 - r)).astype(np.uint8)
+            self.out[-1] |= int(lo[0])
+            self.out += (lo[1:] | hi[:-1]).tobytes()
+            self.out.append(int(hi[-1]))
+        self.bitpos += nbits
+        del self.out[(self.bitpos + 7) // 8 :]
+
+    def append_stored(self, member_data: np.ndarray, final: bool) -> None:
+        from .deflate_encode import StoredPlan
+
+        r = self.bitpos & 7
+        w = BitWriter()
+        if r:
+            w.write_bits(0, r)  # alignment shim: emit at the true offset
+        StoredPlan(member_data).emit(w, final)
+        sb = w.getvalue()
+        nb = w.bit_position
+        if r:
+            self.out[-1] |= sb[0]
+            self.out += sb[1:]
+            self.bitpos += nb - r
+        else:
+            self.out += sb
+            self.bitpos += nb
+        del self.out[(self.bitpos + 7) // 8 :]
+
+    def payload(self) -> bytes:
+        return bytes(self.out)
+
+
+def compress_continuous_tpu(
+    data: bytes,
+    *,
+    effort: int = 4,
+    block_data: int = MEMBER_DATA,
+    lane_batch: int = ENC_LANE_BATCH,
+    mesh=None,
+    axis: str = "data",
+) -> bytes:
+    """Single-member max-ratio gzip: device encode with 32 KiB
+    continuous history across blocks.
+
+    The device effort ladder's top tier (efforts >= 4, mirroring the
+    host ladder where continuous history is what beats zlib-9): the
+    input splits into ``block_data`` blocks, each lane row carries the
+    previous 32 KiB as a halo prefix, the batched analyze/emit kernels
+    run with history masking, and the host splices the block bit-streams
+    into ONE gzip member (no per-member history resets).
+
+    ``mesh`` lane-shards the analyze+emit graph over a device mesh
+    (lanes are independent given their halos — the SP/CP seam).
+    """
+    from .profile import _empty_member
+
+    n = len(data)
+    if n == 0:
+        return _empty_member()
+    lazy = effort >= 2
+    quality = 1 if effort >= 3 else 0
+    flat = np.frombuffer(data, np.uint8)
+    nlanes = -(-n // block_data)
+    sp = _BitSplicer()
+    sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = (NamedSharding(mesh, P(axis, None)), NamedSharding(mesh, P(axis)))
+    for base in range(0, nlanes, lane_batch):
+        Lb = min(lane_batch, nlanes - base)
+        L = Lb
+        if mesh is not None:
+            D = int(mesh.devices.size)
+            L = -(-Lb // D) * D  # pad lanes to the mesh size
+        rows = np.zeros((L, HALO_COLS + block_data), np.uint8)
+        hstart = np.full(L, HALO_COLS, np.int32)
+        pay_lens = np.zeros(L, np.int32)
+        final = np.zeros(L, np.int32)
+        for i in range(Lb):
+            l = base + i
+            p0 = l * block_data
+            pay = flat[p0 : p0 + block_data]
+            h = min(HALO_COLS, p0)
+            rows[i, HALO_COLS - h : HALO_COLS] = flat[p0 - h : p0]
+            rows[i, HALO_COLS : HALO_COLS + pay.size] = pay
+            hstart[i] = HALO_COLS - h
+            pay_lens[i] = pay.size
+            final[i] = 1 if p0 + pay.size >= n else 0
+        pay_lens[Lb:] = 1  # padding lanes: 1 dummy byte, never final
+        words, total_bits, choice = _continuous_encode_lanes(
+            rows, hstart, pay_lens, final, lazy, quality, sharding
+        )
+        wbytes = words.view(np.uint8).reshape(words.shape[0], -1)
+        for i in range(Lb):
+            ln = int(pay_lens[i])
+            stored_cost_bits = 8 * (ln + 5 * (-(-ln // 65535)) + 1)
+            nb = int(total_bits[i])
+            if choice[i] == ROUTE_STORED or nb >= stored_cost_bits:
+                sp.append_stored(
+                    rows[i, HALO_COLS : HALO_COLS + ln], bool(final[i])
+                )
+            else:
+                sp.append(wbytes[i, : (nb + 7) // 8].tobytes(), nb)
+    return build_member(sp.payload(), n, _host_crc32(flat))

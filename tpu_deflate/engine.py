@@ -100,6 +100,20 @@ def compress(
             )
         return _prepend_metadata(out, metadata)
     if engine == "tpu":
+        if effort >= 4:
+            # Max-ratio mode on device: one member, the 32 KiB halo of
+            # each 64 KiB block rides into the analyze kernel as a
+            # history prefix (continuous history across blocks — the
+            # tier that beats zlib-9 on the host ladder, now device-
+            # native; host bit-splice + mesh sharding in encode_jax).
+            from .codec.encode_jax import compress_continuous_tpu
+
+            return _prepend_metadata(
+                compress_continuous_tpu(
+                    data, effort=effort, block_data=cfg.lookahead, mesh=mesh
+                ),
+                metadata,
+            )
         from .codec.encode_jax import compress_members_tpu
 
         return _prepend_metadata(compress_members_tpu(data, effort=effort), metadata)

@@ -236,6 +236,14 @@ def section_tpu_e2e(data: bytes) -> None:
     assert out == tpu_data
     res["corpus_mb"] = round(len(tpu_data) / 2**20, 1)
     res["decode_gbps"] = round(len(tpu_data) / best / 1e9, 4)
+    # Which path the engine decode actually took (device resolve vs
+    # packed-token host resolve), per member class.
+    try:
+        from tpu_deflate.codec.decode_jax_v2 import LAST_DECODE_STATS
+
+        res["decode_path"] = dict(LAST_DECODE_STATS)
+    except Exception:
+        pass
     # Encode on a slice: the device encoder runs far below line rate on
     # this backend; a full-corpus encode would dominate the wall clock.
     if _remaining() > 120:

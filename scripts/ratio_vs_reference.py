@@ -106,9 +106,17 @@ def main() -> int:
         for e in (1, 2, 3, 4, 5):
             row[f"native gzip e{e}"] = len(compress(blob, engine="native", effort=e))
         if args.tpu:
-            for e in (1, 2, 3):
+            # e1-e3 member-parallel profile; e4-e5 continuous history on
+            # device (one member, halo-fed analyze — the max-ratio tier).
+            for e in (1, 2, 3, 4, 5):
                 try:
+                    t0 = time.monotonic()
                     row[f"tpu gzip e{e}"] = len(compress(blob, engine="tpu", effort=e))
+                    print(
+                        f"  {cname}: tpu e{e} = {row[f'tpu gzip e{e}']} "
+                        f"({time.monotonic()-t0:.1f}s)",
+                        file=sys.stderr,
+                    )
                 except Exception as exc:
                     print(f"  tpu engine e{e} failed: {exc}", file=sys.stderr)
         results[cname] = row

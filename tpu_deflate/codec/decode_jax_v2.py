@@ -2111,6 +2111,12 @@ def _decode_single_block_device(
     return outs
 
 
+# Which path the last engine decode took, per member class (the bench's
+# tpu row reports this so "device resolve ran" is a recorded fact, not
+# an assumption): members resolved fully on device vs host-resolve.
+LAST_DECODE_STATS: dict = {}
+
+
 def gzip_decompress_tpu_v2(
     data: bytes,
     *,
@@ -2162,6 +2168,14 @@ def gzip_decompress_tpu_v2(
         else:
             huff.append((i, m))
 
+    stats = LAST_DECODE_STATS
+    stats.clear()
+    stats.update(
+        members=len(members),
+        stored=len(members) - len(huff),
+        device_resolved=0,
+        host_resolved=0,
+    )
     if mesh is None and huff and _device_resolve_enabled(device_resolve):
         elig = [(i, m) for i, m in huff if _single_block_eligible(buf, m)]
         if elig:
@@ -2175,6 +2189,8 @@ def gzip_decompress_tpu_v2(
                     out_parts[i] = o
                     done.add(i)
             huff = [(i, m) for i, m in huff if i not in done]
+            stats["device_resolved"] = len(done)
+    stats["host_resolved"] = len(huff)
 
     batch_n = min(lane_batch or V2_LANE_BATCH, V2_LANE_BATCH)
     for base in range(0, len(huff), batch_n):

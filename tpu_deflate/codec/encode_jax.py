@@ -127,11 +127,17 @@ def _u32_windows(data: jnp.ndarray) -> jnp.ndarray:
 # reference ladder, comp/Lz77Huffman.java:298-305): quality selects the
 # candidate count K and the exact-compare word caps per hash family.
 # Wider settings cost more sorted-space word pre-gathers per batch.
+# The 6-byte family (quality >= 1) targets the text loss vs the
+# reference's exhaustive scan: long matches hide hundreds of entries
+# deep in overcrowded 4-byte buckets (" the", "ing "), but agree on six
+# leading bytes — the nearest h6 candidates find them in K6 shifts.
 _QUALITY = {
     0: dict(K4=16, W4=9, K3=2, W3=2),  # default (effort 2)
-    1: dict(K4=24, W4=16, K3=4, W3=2),  # effort >= 3: 64-byte compares
+    1: dict(K4=32, W4=16, K3=4, W3=2, K6=16, W6=16),  # effort 3/4
+    2: dict(K4=48, W4=16, K3=8, W3=2, K6=24, W6=16),  # effort 5: deep K
     # A wider tier (W4=32, 34-operand carry sort) stalls the remote
-    # Mosaic/XLA compiler for tens of minutes — keep carries <= ~18 ops.
+    # Mosaic/XLA compiler for tens of minutes — keep sort carries
+    # <= ~18 operands; K (shift-compare rounds) is the cheap axis.
 }
 
 
@@ -279,6 +285,27 @@ def _match_find(
     take3 = (l3 > l1) | ((l3 == l1) & (l3 > 0) & (d3 < d1))
     run = jnp.minimum(jnp.where(take3, l3, l1), limit)
     dist = jnp.where(take3, d3, d1)
+
+    if "K6" in q:
+        # 6-byte-hash family: bytes 4..5 mixed into the 4-byte window
+        # hash. False groups from the zero tail are harmless (the exact
+        # word compares reject them).
+        ext6 = jnp.concatenate([data, jnp.zeros((L, 6), jnp.uint8)], axis=1).astype(
+            jnp.uint32
+        )
+        b45 = ext6[:, 4 : S + 4] | (ext6[:, 5 : S + 5] << 8)
+        h6 = (
+            ((w32 ^ (b45 * jnp.uint32(0x9E3779B1))) * jnp.uint32(2654435761))
+            >> jnp.uint32(32 - HASH_BITS)
+        ).astype(jnp.int32)
+        h6 = jnp.where(valid, h6, -1)
+        q6 = bucket_best(h6, q["K6"], q["W6"])
+        c6 = (q6 & 0x3FFFF) - 1
+        l6 = jnp.minimum(q6 >> 18, limit)
+        d6 = jnp.where(c6 >= 0, idx - c6, 0)
+        take6 = (l6 > run) | ((l6 == run) & (l6 > 0) & (d6 < dist))
+        run = jnp.where(take6, l6, run)
+        dist = jnp.where(take6, d6, dist)
 
     # Arithmetic RLE lanes: exact match lengths at dist 1..4 via the
     # suffix run-length of data[i] == data[i-d] (log2(258) static-shift
@@ -747,7 +774,7 @@ def compress_members_tpu(data: bytes, *, lazy: bool | None = None, effort: int =
         return _empty_member()
     if lazy is None:
         lazy = effort >= 2
-    quality = 1 if effort >= 3 else 0
+    quality = 2 if effort >= 5 else (1 if effort >= 3 else 0)
     buf = np.frombuffer(data, dtype=np.uint8)
     step = ENC_LANE_BATCH * MEMBER_DATA
     chunks = [buf[base : base + step] for base in range(0, n, step)]
@@ -1168,7 +1195,7 @@ def compress_continuous_tpu(
     if n == 0:
         return _empty_member()
     lazy = effort >= 2
-    quality = 1 if effort >= 3 else 0
+    quality = 2 if effort >= 5 else (1 if effort >= 3 else 0)
     flat = np.frombuffer(data, np.uint8)
     nlanes = -(-n // block_data)
     sp = _BitSplicer()

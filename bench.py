@@ -181,6 +181,15 @@ def section_tpu_kernel_full(data: bytes) -> None:
     if k:
         ENGINES["tpu_kernel_full"] = k
         print(f"tpu kernel-full: {k}", file=sys.stderr)
+    # Members larger than one 64 KiB resolve tile: device tile split +
+    # chained resolve (capability row; few lanes, so fixed dispatch
+    # overhead dominates the figure).
+    try:
+        kb = v2.kernel_only_bench_big(data, member_kb=192, n_members=16)
+        ENGINES["tpu_kernel_full"]["big_members"] = kb
+        print(f"tpu kernel-big: {kb}", file=sys.stderr)
+    except Exception as e:
+        NOTES.append(f"kernel_big failed: {e!r:.100}")
 
 
 def _measure_link() -> dict:

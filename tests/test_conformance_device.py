@@ -64,3 +64,55 @@ def test_batched_vectors_pallas_interpret(monkeypatch):
         with pytest.raises(DataFormatError) as ei:
             v2._resolve_lane(st, None)
         assert ei.value.reason == reason, name
+
+
+def test_good_vectors_full_device_resolve():
+    """Conformance vectors through the FULL device path: wave decode ->
+    device tile-split resolve (resolve_big_streams) — the engine's
+    forced-device-resolve route for arbitrary foreign streams."""
+    import numpy as np
+
+    from tpu_deflate.codec import resolve_pallas as rp
+    from tpu_deflate.codec.decode_jax_v2 import decode_deflate_streams_v2
+
+    payloads, expected = [], []
+    for name, bits, hexout in GOOD_VECTORS:
+        if not hexout:
+            continue
+        payloads.append(bits_to_bytes(bits))
+        expected.append(bytes.fromhex(hexout))
+    states = decode_deflate_streams_v2(payloads)
+    toks = [np.concatenate(st.tokens).astype(np.int32) for st in states]
+    outs, resid = rp.resolve_big_streams(toks)
+    for name_exp, o, r, st in zip(expected, outs, resid, states):
+        assert r == 0 and not st.err
+        assert o.tobytes() == name_exp
+
+
+def test_big_member_device_resolve_roundtrip():
+    """A member larger than one 64 KiB resolve tile decodes through the
+    forced device-resolve engine path (tile chaining with 32 KiB tails)."""
+    import numpy as np
+
+    from tpu_deflate.codec.decode_jax_v2 import (
+        LAST_DECODE_STATS,
+        gzip_decompress_tpu_v2,
+    )
+    from tpu_deflate.codec import resolve_pallas as rp
+
+    rng = np.random.default_rng(11)
+    words = [
+        bytes(rng.integers(97, 122, rng.integers(3, 9)).astype(np.uint8))
+        for _ in range(80)
+    ]
+    n = 3 * rp.N_POS // 2  # > one tile
+    data = b" ".join(words[int(i)] for i in rng.integers(0, 80, n // 4))[:n]
+    from tpu_deflate import native
+
+    if not native.available():
+        pytest.skip("needs the native encoder for a TD-indexed big member")
+
+    gz = native.compress_continuous_native(data)  # one big TD-indexed member
+    out = gzip_decompress_tpu_v2(gz, device_resolve="on")
+    assert out == data
+    assert LAST_DECODE_STATS.get("device_resolved", 0) >= 1

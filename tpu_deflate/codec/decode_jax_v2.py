@@ -2192,13 +2192,39 @@ def gzip_decompress_tpu_v2(
             stats["device_resolved"] = len(done)
     stats["host_resolved"] = len(huff)
 
+    # Forced device resolve also routes the REMAINING members — multi-
+    # block, foreign, and > 64 KiB — through the chip: the wave driver
+    # produces each lane's token stream, which tile-splits and resolves
+    # with chained 32 KiB tails (resolve_pallas.resolve_big_streams,
+    # ≙ unbounded streaming over the bounded ring dictionary,
+    # decomp/Open.java:64-66). "auto" keeps these on host resolve: their
+    # tokens are already host-side after the chain driver, so on a
+    # tunneled link the re-upload is pure loss.
+    big_device = device_resolve == "on" and _device_resolve_enabled(device_resolve)
     batch_n = min(lane_batch or V2_LANE_BATCH, V2_LANE_BATCH)
     for base in range(0, len(huff), batch_n):
         batch = huff[base : base + batch_n]
         payloads = [buf[m.payload_start : m.end - 8].tobytes() for _, m in batch]
         states = decode_deflate_streams_v2(payloads, runner)
-        for (i, m), st in zip(batch, states):
-            out = _resolve_lane(st, m.isize)
+        douts: list = [None] * len(batch)
+        if big_device:
+            from . import resolve_pallas as rp
+
+            clean = [
+                (j, st) for j, st in enumerate(states) if not st.err and st.tokens
+            ]
+            if clean:
+                toks = [
+                    np.concatenate(st.tokens).astype(np.int32) for _, st in clean
+                ]
+                outs_b, resid = rp.resolve_big_streams(toks)
+                for (j, _st), o, r in zip(clean, outs_b, resid):
+                    if r == 0:
+                        douts[j] = o.tobytes()
+                        stats["device_resolved"] += 1
+                        stats["host_resolved"] -= 1
+        for j, ((i, m), st) in enumerate(zip(batch, states)):
+            out = douts[j] if douts[j] is not None else _resolve_lane(st, m.isize)
             if len(out) != m.isize:
                 raise _df(Reason.DECOMPRESSED_SIZE_MISMATCH)
             if verify_crc:
@@ -2212,3 +2238,117 @@ def gzip_decompress_tpu_v2(
                     raise _df(Reason.DECOMPRESSED_CHECKSUM_MISMATCH)
             out_parts[i] = out
     return b"".join(p for p in out_parts if p is not None)
+
+
+def kernel_only_bench_big(
+    data: bytes, *, member_kb: int = 192, n_members: int = 8, reps: int = 4
+) -> dict:
+    """Full-device decode of members LARGER than one 64 KiB resolve tile.
+
+    Prep (untimed): ``n_members`` single-block members of ``member_kb``
+    KiB each (host strategy encoder with a widened lookahead produces
+    one dynamic block per member). On the clock: wave stages A-E +
+    compaction, the DEVICE tile split (``resolve_pallas.
+    split_tiles_device``), and T chained resolve+CRC steps whose 32 KiB
+    tails stay on device — compressed bits to final CRC-checked bytes
+    for outputs beyond the tile bound (≙ unbounded streaming over the
+    bounded ring dictionary, ``decomp/Open.java:64-66``). An untimed
+    pass verifies every member's bytes against the input.
+    """
+    import time
+
+    import tpu_deflate as td
+    from ..kernels.bitio import BitWriter  # noqa: F401  (host encoder dep)
+    from ..streams.deflater import Deflater
+
+    strategy_for_effort = td.strategy_for_effort
+    from .profile import build_member
+    from ..kernels.checksum import crc32 as crc32_host
+    from . import resolve_pallas as rp
+    from ..kernels import checksum_jax as cj
+    import io
+
+    N = rp.N_POS
+    msize = member_kb << 10
+    T = -(-msize // N)
+    chunks = [
+        data[i * msize : (i + 1) * msize]
+        for i in range(n_members)
+        if len(data[i * msize : (i + 1) * msize]) == msize
+    ]
+    payloads, crcs = [], []
+    for c in chunks:
+        sink = io.BytesIO()
+        d = Deflater(sink, lookahead=msize, strategy=strategy_for_effort(2))
+        d.write(c)
+        d.finish()
+        payloads.append(sink.getvalue())
+        crcs.append(crc32_host(c))
+
+    run = _run_wave_pallas if _use_pallas() else _run_wave_unfused
+    buckets = _p_buckets()
+    P = _bucket(max(len(p) for p in payloads), buckets)
+    assert P <= max(buckets), "big-member payload exceeds wave buckets"
+    k1 = _k1_groups(payloads, [0] * len(payloads))[0] if _use_pallas() else 0
+    w = _prep_wave(payloads, _bucket(len(payloads), V2_L_BUCKETS), buckets=buckets)
+    w["_n_real"] = len(payloads)
+    w = {
+        k: v if k.startswith("_") else jax.device_put(jnp.asarray(v))
+        for k, v in w.items()
+    }
+    K8, lvl8 = cj.crc_matrices8(N // cj.CHUNK_BYTES)
+    np.asarray(jnp.sum(w["grid"].astype(jnp.int32)))  # force staging
+
+    L = len(payloads)
+
+    def run_pass(collect: bool = False):
+        tokens = run(w)[0][:L]
+        tiles = rp.split_tiles_device(tokens, T)
+        acc = jnp.zeros((), jnp.uint32)
+        tail = None
+        ys, raws = [], []
+        for t in range(T):
+            y, summ, _r, unres = rp.resolve_tokens_device(tiles[:, t], tail=tail)
+            raw = cj.crc32_lanes_raw8(y, K8, lvl8)
+            acc = acc + jnp.sum(raw) + jnp.sum(summ).astype(jnp.uint32)
+            acc = acc + unres.astype(jnp.uint32)
+            tail = y[:, N - rp.TAIL_ROWS * 128 :]
+            if collect:
+                ys.append(y)
+                raws.append(raw)
+        return (acc, ys, raws) if collect else acc
+
+    def run_n(n: int) -> float:
+        t0 = time.monotonic()
+        acc = jnp.zeros((), jnp.uint32)
+        for _ in range(n):
+            acc = acc + run_pass()
+        np.asarray(acc)
+        return time.monotonic() - t0
+
+    run_n(1)  # compile + warm
+    best, t1, guard = _marginal_time(run_n, reps)
+
+    # Untimed verification: pulled bytes must equal the input chunks.
+    _acc, ys, _raws = run_pass(collect=True)
+    ybytes = np.concatenate([np.asarray(y, np.uint8)[:, None, :] for y in ys], axis=1)
+    verified = mism = 0
+    for i, c in enumerate(chunks):
+        got = ybytes[i].reshape(-1)[:msize].tobytes()
+        if got == c:
+            verified += 1
+        else:
+            mism += 1
+    total = msize * len(chunks)
+    return {
+        "decode_gbps": round(total / best / 1e9, 4),
+        "decode_gbps_single_pass": round(total / t1 / 1e9, 4),
+        "member_kb": member_kb,
+        "members": len(chunks),
+        "tiles_per_member": T,
+        "uncompressed_mb": round(total / 2**20, 1),
+        "verified_members": verified,
+        "byte_mismatches": mism,
+        "marginal_guard": guard,
+        "note": "members > one resolve tile: A-E + device tile split + chained resolve/CRC on device",
+    }

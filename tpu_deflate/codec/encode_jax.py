@@ -519,8 +519,17 @@ def emit_device(
     v3 = jnp.where(is_match, dist_ev, 0).astype(jnp.uint32)
     b3 = jnp.where(is_match, dist_eb, 0).astype(jnp.int32)
 
-    body_vals = jnp.stack([v0, v1, v2, v3], axis=2).reshape(L, 4 * S)
-    body_bits = jnp.stack([b0, b1, b2, b3], axis=2).reshape(L, 4 * S)
+    # Fuse each position's 4 bit slots into 2 before the expensive
+    # cumsum + scatter: litlen code + length extra (<= 15+5 bits) and
+    # dist code + dist extra (<= 15+13 bits) both fit uint32 slots —
+    # halves the slot stream the word packer must move.
+    va = v0 | (v1 << b0.astype(jnp.uint32))
+    ba = b0 + b1
+    vb = v2 | (v3 << b2.astype(jnp.uint32))
+    bb = b2 + b3
+
+    body_vals = jnp.stack([va, vb], axis=2).reshape(L, 2 * S)
+    body_bits = jnp.stack([ba, bb], axis=2).reshape(L, 2 * S)
 
     vals = jnp.concatenate([header_vals, body_vals, eob_val[:, None]], axis=1)
     bits = jnp.concatenate([header_bits, body_bits, eob_bits[:, None]], axis=1)

@@ -505,10 +505,12 @@ def split_tokens_tiles(tokens: np.ndarray) -> np.ndarray:
 
     tokens: (K,) int32 front-compacted (-1 padding). A match token
     straddling a tile boundary is split in two with the same distance
-    (valid: the second half's source still lies within 32 KiB). Returns
+    (valid: the second half's source still lies within 32 KiB; runs are
+    <= 258 < N_POS so a token spans at most two tiles). Returns
     (T, N_POS) int32, -1 padded — tile t covers output bytes
-    [t*N_POS, (t+1)*N_POS). ≙ unbounded streaming with the bounded ring
-    dictionary, decomp/Open.java:64-66.
+    [t*N_POS, (t+1)*N_POS). Fully vectorized (the engine's big-member
+    path runs this per lane). ≙ unbounded streaming with the bounded
+    ring dictionary, decomp/Open.java:64-66.
     """
     toks = tokens[tokens >= 0].astype(np.int64)
     is_m = (toks & TOKEN_MATCH_BIT) != 0
@@ -517,22 +519,27 @@ def split_tokens_tiles(tokens: np.ndarray) -> np.ndarray:
     total = int(ends[-1]) if toks.size else 0
     T = max(1, -(-total // N_POS))
     out = np.full((T, N_POS), -1, np.int32)
-    fill = np.zeros(T, np.int64)  # next free token slot per tile
+    if not toks.size:
+        return out
     starts = ends - runs
-    tile_of = starts // N_POS
-    for i in range(toks.size):
-        t = int(tile_of[i])
-        s, e = int(starts[i]), int(ends[i])
-        if e <= (t + 1) * N_POS:
-            out[t, fill[t]] = toks[i]
-            fill[t] += 1
-        else:  # straddling match: split at the boundary
-            cut = (t + 1) * N_POS
-            dist_m1 = int(toks[i] & 0xFFFF)
-            out[t, fill[t]] = TOKEN_MATCH_BIT | (cut - s) << 16 | dist_m1
-            fill[t] += 1
-            out[t + 1, fill[t + 1]] = TOKEN_MATCH_BIT | (e - cut) << 16 | dist_m1
-            fill[t + 1] += 1
+    t0 = starts // N_POS
+    straddle = ends > (t0 + 1) * N_POS  # always a match (literals are 1 byte)
+    cut = (t0 + 1) * N_POS
+    dist_m1 = toks & 0xFFFF
+    first = np.where(
+        straddle, TOKEN_MATCH_BIT | ((cut - starts) << 16) | dist_m1, toks
+    )
+    # Each tile's sequence = [the (at most one) straddler's second half
+    # from the previous tile] ++ [tokens starting in this tile, in order].
+    head = np.zeros(T, np.int64) - 1
+    head[t0[straddle] + 1] = TOKEN_MATCH_BIT | (
+        (ends[straddle] - cut[straddle]) << 16
+    ) | dist_m1[straddle]
+    has_head = head >= 0
+    tile_first_idx = np.searchsorted(t0, np.arange(T))
+    rank = np.arange(toks.size) - tile_first_idx[t0]
+    out[has_head, 0] = head[has_head]
+    out[t0, rank + has_head[t0]] = first
     return out
 
 
@@ -561,3 +568,95 @@ def resolve_tokens_tiled(tiles, *, interpret: bool | None = None):
         unres_total = unres_total + unres
         tail = y[:, M - TAIL_ROWS * 128 :]
     return jnp.stack(ys, axis=1), jnp.stack(summs, axis=1), unres_total
+
+
+def resolve_big_streams(token_arrays, *, interpret: bool | None = None):
+    """Device resolve for arbitrary-size token streams (members beyond
+    one 64 KiB tile — continuous members, foreign streams).
+
+    token_arrays: list of (K,) int32 host token streams (front-compacted,
+    -1 padded, possibly > N_POS slots). Each splits into N_POS output
+    tiles (``split_tokens_tiles``), lanes group by tile count, and tile
+    step t of every lane in a group resolves in one batched device call
+    with the previous step's last 32 KiB chained as the resolved tail —
+    O(1) device memory per lane regardless of stream length
+    (≙ the reference's unbounded streaming over a bounded ring
+    dictionary, decomp/Open.java:64-66).
+
+    Returns (outs, residues): per stream, the resolved bytes (np.uint8,
+    trimmed to the stream's total output) and its unresolved-residue
+    count (nonzero => the caller must fall back to host resolve).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    tiles = [split_tokens_tiles(np.asarray(t, np.int32)) for t in token_arrays]
+    totals = []
+    for t in token_arrays:
+        toks = np.asarray(t, np.int64)
+        toks = toks[toks >= 0]
+        is_m = (toks & TOKEN_MATCH_BIT) != 0
+        totals.append(int(np.where(is_m, (toks >> 16) & 0x3FF, 1).sum()))
+    outs: list = [None] * len(tiles)
+    resid = np.zeros(len(tiles), np.int64)
+    bygroup: dict[int, list[int]] = {}
+    for i, tl in enumerate(tiles):
+        bygroup.setdefault(tl.shape[0], []).append(i)
+    for T, idxs in sorted(bygroup.items()):
+        batch = jnp.asarray(np.stack([tiles[i] for i in idxs], axis=0))
+        ys, summs, _unres = resolve_tokens_tiled(batch, interpret=interpret)
+        ys = np.asarray(ys, np.uint8).reshape(len(idxs), T * N_POS)
+        summs = np.asarray(summs)
+        for j, i in enumerate(idxs):
+            outs[i] = ys[j, : totals[i]]
+            # Unresolved residue OR a flagged copy-before-start: either
+            # way the caller must re-run the lane through host resolve
+            # (which raises the exact reference Reason in stream order).
+            resid[i] = int(summs[j, :, 3].sum()) + int(
+                (summs[j, :, 0] < N_POS).sum()
+            )
+    return outs, resid
+
+
+@functools.partial(jax.jit, static_argnames=("T",))
+def split_tiles_device(tokens: jnp.ndarray, T: int) -> jnp.ndarray:
+    """(L, K) device token streams -> (L, T, N_POS) tile-split, ON DEVICE.
+
+    The device analog of ``split_tokens_tiles`` for the full-device
+    big-member pipeline: per tile, tokens starting in the tile keep
+    their order via one 2-operand ``lax.sort`` (key = stream index;
+    the straddling match's second half sorts first with key 0), with
+    run caps applied arithmetically. A token spans at most two tiles
+    (runs <= 258 < N_POS).
+    """
+    L, K = tokens.shape
+    valid = tokens >= 0
+    is_m = valid & ((tokens & TOKEN_MATCH_BIT) != 0)
+    runs = jnp.where(valid, jnp.where(is_m, (tokens >> 16) & 0x3FF, 1), 0)
+    ends = jnp.cumsum(runs, axis=1)
+    starts = ends - runs
+    t0 = starts // N_POS
+    idx = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (L, K))
+    dist_m1 = tokens & 0xFFFF
+    tiles = []
+    for t in range(T):
+        cut = (t + 1) * N_POS
+        start_in = valid & (t0 == t)
+        run1 = jnp.minimum(ends, cut) - starts
+        val_first = jnp.where(
+            is_m, TOKEN_MATCH_BIT | (run1 << 16) | dist_m1, tokens
+        )
+        head_in = is_m & (t0 == t - 1) & (ends > t * N_POS)
+        run2 = ends - t * N_POS
+        val = jnp.where(
+            start_in,
+            val_first,
+            jnp.where(head_in, TOKEN_MATCH_BIT | (run2 << 16) | dist_m1, -1),
+        )
+        key = jnp.where(start_in, idx + 1, jnp.where(head_in, 0, K + 2))
+        _k, sval = jax.lax.sort((key, val), dimension=1, num_keys=1)
+        if K >= N_POS:
+            sval = sval[:, :N_POS]
+        else:
+            sval = jnp.pad(sval, ((0, 0), (0, N_POS - K)), constant_values=-1)
+        tiles.append(sval)
+    return jnp.stack(tiles, axis=1)

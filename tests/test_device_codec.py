@@ -166,3 +166,37 @@ def test_on_device_strategy_routing():
     assert btypes[0] == 2, "text lane should route dynamic"
     assert btypes[1] == 0, "random lane should route stored"
     assert btypes[2] == 1, "short printable lane should route fixed"
+
+
+def test_emit_pallas_matches_xla_emit():
+    """The VMEM word-packer kernel must produce the XLA emit's words
+    bit-for-bit (same header/body/EOB layout)."""
+    import jax.numpy as jnp
+
+    from tpu_deflate.codec import emit_pallas as ep
+    from tpu_deflate.codec import encode_jax as ej
+
+    rng = np.random.RandomState(3)
+    L = 1
+    padded = np.repeat(
+        rng.randint(97, 123, (L, 65536 // 4)).astype(np.uint8), 4, axis=1
+    )
+    lengths = np.full(L, 65536, np.int32)
+    a = ej.analyze_device(jnp.asarray(padded), jnp.asarray(lengths), True, 0)
+    ll_c, d_c, hv, hb, ev, eb, _choice = ej._plan_codes(
+        a, lengths.astype(np.int64), L
+    )
+    flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
+    args = (
+        a["litlen_sym"], flags, a["len_eb"], a["len_ev"],
+        a["dist_sym"], a["dist_eb"], a["dist_ev"],
+        ll_c, d_c, hv, hb, ev, eb,
+    )
+    w_ref, tb_ref = ej.emit_device(*args)
+    w_new, tb_new = ep.emit_device_pallas(*args, interpret=True)
+    tb_ref, tb_new = np.asarray(tb_ref), np.asarray(tb_new)
+    np.testing.assert_array_equal(tb_ref, tb_new)
+    nw = (int(tb_ref[0]) + 31) // 32
+    np.testing.assert_array_equal(
+        np.asarray(w_ref)[0, :nw], np.asarray(w_new)[0, :nw]
+    )

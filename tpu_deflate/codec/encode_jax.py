@@ -388,12 +388,24 @@ def _finish_analysis(data, use, dist, is_token):
     dist_ev = jnp.where(is_match, dev_, 0)
 
     # --- histograms ----------------------------------------------------
-    flat_ll = (lanes * 288 + jnp.where(is_token, litlen_sym, 0)).reshape(-1)
-    ll_weights = is_token.reshape(-1).astype(jnp.int32)
-    litlen_hist = jnp.zeros(L * 288, jnp.int32).at[flat_ll].add(ll_weights).reshape(L, 288)
-    flat_d = (lanes * 30 + jnp.where(is_match, dist_sym, 0)).reshape(-1)
-    d_weights = is_match.reshape(-1).astype(jnp.int32)
-    dist_hist = jnp.zeros(L * 30, jnp.int32).at[flat_d].add(d_weights).reshape(L, 30)
+    # Sort + binary-search boundaries instead of scatter-add: dynamic
+    # scatters run ~16 ns/element on this backend (~134 ms for the two
+    # (L*S)-element histogram adds at a 4 MiB batch), while a 1-operand
+    # sort plus a 23-round vectorized bisect over L*289 boundary queries
+    # costs ~30 ms. Non-token positions sort into a trash bin past each
+    # lane's symbol range.
+    def _hist_sorted(keys, nbins):
+        flat = jnp.sort(keys.reshape(-1))
+        q = jnp.arange(L * (nbins + 1) + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(flat, q)
+        return (bounds[1:] - bounds[:-1]).reshape(L, nbins + 1)[:, :nbins]
+
+    litlen_hist = _hist_sorted(
+        jnp.where(is_token, litlen_sym, 288) + lanes * 289, 288
+    ).astype(jnp.int32)
+    dist_hist = _hist_sorted(
+        jnp.where(is_match, dist_sym, 30) + lanes * 31, 30
+    ).astype(jnp.int32)
 
     return {
         "is_token": is_token,
@@ -961,6 +973,19 @@ def _plan_codes(a, lengths: np.ndarray, L: int, final: np.ndarray | None = None)
     return ll_c, d_c, hv, hb, ev, eb, choice
 
 
+def _emit_fn(S: int):
+    """Pick the emit backend: the VMEM pallas word packer on TPU-class
+    devices (bit-identical, ~2x the XLA emit — it replaces the code-table
+    gathers and the word scatter-adds, the two op classes this backend
+    runs slowest), XLA elsewhere or for shapes off the 16-row grid."""
+    if S % 2048 == 0:
+        from . import emit_pallas as epal
+
+        if epal.emit_available():
+            return epal.emit_device_pallas
+    return emit_device
+
+
 def _plan_and_emit(pend):
     """Stage 2: pull the histograms, plan codes on host, issue emit."""
     a, padded, lengths, L, L_real = pend
@@ -979,7 +1004,7 @@ def _plan_and_emit(pend):
 
     # Token info stays on device between analyze and emit.
     flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
-    words, total_bits = emit_device(
+    words, total_bits = _emit_fn(a["litlen_sym"].shape[1])(
         a["litlen_sym"],
         flags,
         a["len_eb"],
@@ -1112,7 +1137,7 @@ def _continuous_encode_lanes(
         a, pay_lens.astype(np.int64), L, final.astype(np.int32)
     )
     flags = a["is_token"].astype(jnp.int32) | (a["is_match"].astype(jnp.int32) << 1)
-    words, total_bits = emit_device(
+    words, total_bits = _emit_fn(a["litlen_sym"].shape[1])(
         a["litlen_sym"], flags, a["len_eb"], a["len_ev"],
         a["dist_sym"], a["dist_eb"], a["dist_ev"],
         ll_c, d_c, hv, hb, ev, eb,

@@ -253,28 +253,36 @@ def section_tpu_e2e(data: bytes) -> None:
         res["decode_path"] = dict(LAST_DECODE_STATS)
     except Exception:
         pass
-    # Encode on a slice: the device encoder runs far below line rate on
-    # this backend; a full-corpus encode would dominate the wall clock.
-    if _remaining() > 120:
-        enc_slice = data[: TPU_ENC_SLICE_MB << 20]
-        gz_s = compress(enc_slice, engine="tpu")
-        t0 = time.monotonic()
-        gz_s = compress(enc_slice, engine="tpu")
-        res["encode_warm_mbps"] = round(len(enc_slice) / (time.monotonic() - t0) / 1e6, 2)
-        res["encode_slice_mb"] = TPU_ENC_SLICE_MB
-        res["ratio"] = round(len(gz_s) / len(enc_slice), 4)
-        # Link-excluded companion figure (the e2e number above rides the
-        # relay link, which can be single-digit MB/s when shared).
-        if _remaining() > 90:
-            try:
-                from tpu_deflate.codec.encode_jax import encode_kernel_bench
-
-                res["encode_kernel"] = encode_kernel_bench(enc_slice)
-            except Exception as e:
-                NOTES.append(f"encode_kernel failed: {e!r:.100}")
-    else:
-        NOTES.append("tpu encode sample skipped: out of budget")
     print(f"tpu (end-to-end, {plat}): {res}", file=sys.stderr)
+
+
+def section_tpu_encode(data: bytes) -> None:
+    """Device-encoder rows on a slice (the encoder runs far below line
+    rate on this backend; a full-corpus encode would dominate the wall
+    clock). Its own section, ordered before the link-noisy e2e decode
+    row, so budget pressure cannot take the encoder's numbers with it."""
+    from tpu_deflate.engine import compress
+
+    res = ENGINES.setdefault("tpu", {})
+    enc_slice = data[: TPU_ENC_SLICE_MB << 20]
+    gz_s = compress(enc_slice, engine="tpu")
+    t0 = time.monotonic()
+    gz_s = compress(enc_slice, engine="tpu")
+    res["encode_warm_mbps"] = round(len(enc_slice) / (time.monotonic() - t0) / 1e6, 2)
+    res["encode_slice_mb"] = TPU_ENC_SLICE_MB
+    res["ratio"] = round(len(gz_s) / len(enc_slice), 4)
+    print(f"tpu encode: {res.get('encode_warm_mbps')} MB/s warm", file=sys.stderr)
+    # Link-excluded companion figure (the e2e row rides the relay link,
+    # which can be single-digit MB/s when shared).
+    if _remaining() > 90:
+        try:
+            from tpu_deflate.codec.encode_jax import encode_kernel_bench
+
+            res["encode_kernel"] = encode_kernel_bench(enc_slice)
+            print(f"tpu encode-kernel: {res['encode_kernel']}", file=sys.stderr)
+        except Exception as e:
+            NOTES.append(f"encode_kernel failed: {e!r:.100}")
+
 
 
 def section_host(data: bytes) -> None:
@@ -299,6 +307,7 @@ def main() -> int:
         ("native", section_native, 300),
         ("tpu_kernel_full", section_tpu_kernel_full, 120),
         ("tpu_kernel", section_tpu_kernel, 60),
+        ("tpu_encode", section_tpu_encode, 150),
         ("tpu", section_tpu_e2e, 90),
         ("host", section_host, 40),
     ]

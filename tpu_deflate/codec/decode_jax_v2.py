@@ -2321,7 +2321,9 @@ def kernel_only_bench_big(
     payloads, crcs = [], []
     for c in chunks:
         sink = io.BytesIO()
-        d = Deflater(sink, lookahead=msize, strategy=strategy_for_effort(2))
+        # Effort 1 (RLE_DYNAMIC): the cheapest single-block host encode —
+        # prep cost only; the row measures DECODE of >64 KiB members.
+        d = Deflater(sink, lookahead=msize, strategy=strategy_for_effort(1))
         d.write(c)
         d.finish()
         payloads.append(sink.getvalue())

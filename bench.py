@@ -229,8 +229,10 @@ def section_tpu_e2e(data: bytes) -> None:
     from tpu_deflate.engine import compress, decompress
 
     plat = jax.devices()[0].platform
-    res: dict = {"platform": plat}
-    ENGINES["tpu"] = res
+    # Merge into the shared tpu row (the encode section may have run
+    # first and already filled its fields).
+    res = ENGINES.setdefault("tpu", {})
+    res["platform"] = plat
     try:
         res["link"] = _measure_link()
     except Exception as e:

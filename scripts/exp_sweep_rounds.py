@@ -3,6 +3,27 @@
 Measures (a) per-lane total local-fixpoint rounds for text/RLE lanes,
 (b) timing of kernel variants that isolate the dot vs the column select,
 to decide where the next factor of ~3 comes from.
+
+Round-5 findings (see BASELINE.md r5): mean 78 rounds/lane (text 62,
+RLE 126) is near the structural floor (32 block minimums + log2 of
+in-block chain depth), and the shipped 2-plane kernel's ~3.3M VPU ops
+per round run at the measured ~1 T ops/s roofline. Variants measured
+SLOWER: bf16 split-table byte rounds (91 ms vs 67 — round count
+dominates and the one-hot build + column select are dtype-insensitive),
+block-loop unrolling (no change, 6x compile time), per-plane select
+before combine.
+
+Costed-but-unbuilt next idea — word-granularity (quad) gathers: gather
+4-byte words instead of bytes so the 256-row one-hot build amortizes
+over 4 positions (build drops ~4x to ~130k/tile-round) while per-quad
+alignment needs two adjacent words + a 4-way funnel select. The
+128-way column select does NOT amortize (select work is proportional
+to bytes x candidate columns regardless of grouping: 8 gathered byte
+planes x 512 quads = 4 planes x 2048 positions), so the net bound is
+~1.5-1.7x on the build+combine terms only — roughly 67 -> ~45 ms per
+16 MiB, still short of the ~25 ms the 0.62 GB/s blended bar implies.
+A true structural win needs fewer gathered elements per byte (e.g.
+region-level range copies for long matches), not a cheaper select.
 """
 
 from __future__ import annotations
